@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship end-to-end run on sf0.001 — build the inverted
+  index over the documents table and answer the reference-style query set
+  with batched exhaustive BM25.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+  SURVEY.md §2, backed by bliss_rs_spark.plans.driver_queries (each Spark
+  callable has an exactly-mirrored DuckDB SQL string unless its operator is
+  seeded-NumPy-based, in which case the driver records a rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from bliss_rs_spark.corpus import documents_from_testdata
+    from bliss_rs_spark.operators.bm25 import bm25_topk_batch
+    from bliss_rs_spark.operators.build_index import build_index_frames
+    from bliss_rs_spark.session import ship_package
+
+    ship_package(spark)
+    docs = documents_from_testdata(spark, "/root/testdata/sf0.001")
+    idx = build_index_frames(docs)
+    query_set = [
+        (1, "spark hash join", 10),
+        (2, "window merge sort", 10),
+        (3, "fastScanBatch", 10),   # camelCase: matches only via sub-token split
+        (4, "the a big small", 10),
+        (5, "stream filter", 100),
+    ]
+    return bm25_topk_batch(spark, idx.postings, idx.term_stats, idx.avgdl, query_set)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bliss_rs_spark.plans.driver_queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bliss_rs_spark.plans.driver_queries import registry
+
+    return {name: sql for name, (_, sql) in registry().items() if sql is not None}

@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timed stages:
+  index_build      tokenize -> postings -> term/doc stats (actions forced)
+  bm25_batch       5-query reference-style set, batched exhaustive BM25
+  minhash_lsh      MinHash+LSH near-dup pairs over documents
+  simhash          64-bit SimHash fingerprints
+  cosine_topk      brute-force cosine top-10 over embeddings
+  quality          per-doc quality metrics (JVM expressions)
+
+Also reports docs_per_sec for the build (the reference's headline metric is
+files/sec: ~3.0 files/sec for 10k files, /root/reference/README.md:158-160).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.config import IndexConfig
+    from bliss_rs_spark.corpus import documents_from_testdata
+    from bliss_rs_spark.operators.bm25 import bm25_topk_batch
+    from bliss_rs_spark.operators.build_index import build_index_frames
+    from bliss_rs_spark.operators.dedup import minhash_lsh_pairs, simhash64
+    from bliss_rs_spark.operators.similarity import cosine_topk_by_id
+    from bliss_rs_spark.functions.text_stats import with_quality
+    from bliss_rs_spark.session import get_spark
+
+    spark = get_spark("bliss_rs_spark_bench", cpus=cpus)
+    cfg = IndexConfig()
+    timings: dict[str, float] = {}
+
+    docs = documents_from_testdata(spark, sf_dir).cache()
+    n_docs = docs.count()  # warm the cache outside any timed window
+
+    t0 = time.perf_counter()
+    idx = build_index_frames(docs, cfg)
+    idx.postings = idx.postings.cache()
+    idx.term_stats = idx.term_stats.cache()
+    n_postings = idx.postings.count()
+    idx.term_stats.count()
+    timings["index_build"] = time.perf_counter() - t0
+
+    query_set = [
+        (1, "spark hash join", 10),
+        (2, "window merge sort", 10),
+        (3, "fastScanBatch", 10),
+        (4, "the a big small", 10),
+        (5, "stream filter table", 100),
+    ]
+    t0 = time.perf_counter()
+    bm25_topk_batch(spark, idx.postings, idx.term_stats, idx.avgdl, query_set, cfg).collect()
+    timings["bm25_batch"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs, n_hashes=8, bands=4, jaccard_threshold=0.05).count()
+    timings["minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    simhash64(docs).count()
+    timings["simhash"] = time.perf_counter() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    t0 = time.perf_counter()
+    cosine_topk_by_id(emb, 0, 10).collect()
+    timings["cosine_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    with_quality(docs, "content").agg(F.sum("n_tokens")).collect()
+    timings["quality"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Reference parity: bliss-rs's playlist dedup treats two rows as duplicates if
+their distance is below a threshold OR their (title, artist) metadata matches
+exactly (/root/reference/src/playlist.rs:367-402).  That is precisely the
+exact-tier (metadata/sha equality) + near-tier (threshold on a similarity
+score) split implemented here at corpus scale:
+
+- exact:      content_sha256 groupBy (hash-equality dedup)
+- normalized: md5 fingerprint of the canonical token stream
+- near:       MinHash+LSH over word-3-gram shingles (banding -> bucket join
+              -> exact Jaccard verify), SimHash hamming buckets, and
+              n-gram Jaccard for small candidate sets
+- embedding:  cosine near-dup over the embeddings table (operators/similarity.py)
+
+All hash arithmetic uses the md5-derived 60-bit integers of
+functions/text_stats.py so the DuckDB oracle can replay every step
+bit-for-bit.  Scale notes inline: every step is a narrow map or an
+equi-shuffle on a bounded key; no O(n^2) stage ever materializes — candidate
+pairs come from bucket joins only (the LSH contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.functions.text_stats import (
+    fingerprint_spark,
+    md5_int64_spark,
+    shingles_spark,
+)
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, n_docs, min_doc_id).
+
+    One partial+final count per sha — the canonical hash-groupBy dedup.
+    """
+    return (
+        docs.groupBy("content_sha256")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep one representative (min doc_id) per content_sha256.
+
+    Window-free formulation: groupBy + semi-join keeps the build shuffle-light
+    (two stages, both on the sha key, co-partitioned by AQE).
+    """
+    keep = docs.groupBy("content_sha256").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, ["content_sha256", "doc_id"], "left_semi")
+
+
+def with_fingerprint(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Normalized-content fingerprint column (whitespace/case/punct-insensitive)."""
+    return docs.withColumn("fingerprint", F.expr(fingerprint_spark(content_col)))
+
+
+def with_shingles(docs: DataFrame, content_col: str = "content", n: int = 3) -> DataFrame:
+    return docs.withColumn("shingles", F.expr(shingles_spark(content_col, n)))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, content_col: str = "content", n: int = 3
+) -> DataFrame:
+    """(doc_id, perm, minhash): MinHash signature rows.
+
+    h_i(shingle) = md5_int64(i || ':' || shingle); signature_i = min over
+    shingles.  Rehash-per-permutation (instead of the (a*x+b) mod p family)
+    keeps the function SQL-mirrorable with no 64-bit modmul overflow issues.
+    Explode + groupBy(min) — map-side combine absorbs the per-doc fan-out.
+    Docs with fewer than n tokens produce no signature (no shingles).
+    """
+    sh = with_shingles(docs, content_col, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    perms = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("perm"))
+    hashed = sh.crossJoin(F.broadcast(perms)).withColumn(
+        "h",
+        F.expr(md5_int64_spark("concat(cast(perm as string), ':', shingle)")),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    content_col: str = "content",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding: (doc_a, doc_b, jaccard).
+
+    Stage 1: signatures; stage 2: band keys (concat of rows-per-band
+    minhashes) -> bucket self-join produces candidates; stage 3: exact
+    word-shingle Jaccard verification >= threshold.  The self-join is on the
+    band bucket key, so the only quadratic blow-up possible is within a
+    bucket of true near-dups — the LSH guarantee.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+
+    sig = minhash_signatures(docs, n_hashes, content_col, n)
+    band_keys = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("_", F.sort_array(F.collect_list(F.col("minhash")))).alias("bkey"))
+    )
+    cand = (
+        band_keys.alias("x")
+        .join(band_keys.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = with_shingles(docs, content_col, n).select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(0.0)
+            ).otherwise(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    content_col: str = "content",
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs via an inverted shingle join (no LSH).
+
+    Candidates = pairs sharing at least one shingle; exact for any threshold
+    > 0 but the shingle join can blow up on corpora with globally-hot
+    shingles — use minhash_lsh_pairs at scale; this operator doubles as its
+    correctness oracle.
+    """
+    sh = with_shingles(docs, content_col, n).select("doc_id", "shingles")
+    exploded = sh.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    inter = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash of the tf-weighted token stream.
+
+    bit_j(doc) = 1 iff sum over terms of tf * sign(bit_j(h(term))) > 0,
+    h = md5_int64 (60 effective bits; top 4 always 0 — acceptable, documented).
+    Built entirely from JVM expressions: explode tokens -> explode 64 bit
+    positions is a wide but narrow-shuffle plan; the per-(doc, bit) partial
+    sums combine map-side.
+    """
+    from bliss_rs_spark.functions.tokenizer import tokenize_sql_spark
+
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(tokenize_sql_spark(content_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.expr(md5_int64_spark("term")))
+    )
+    bits = toks.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.expr("case when (shiftright(h, bit) & 1) = 1 then tf else -tf end"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), bit) else cast(0 as bigint) end"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

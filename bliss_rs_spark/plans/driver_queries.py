@@ -1,0 +1,645 @@
+"""Driver-contract query registry: name -> (spark_fn, duckdb_oracle_sql).
+
+Every implemented operator from SURVEY.md §2 gets an entry; the driver runs
+the Spark side and the DuckDB SQL side-by-side on /root/testdata/sf0.01 and
+compares row-count + schema + order-insensitive value-hash.  Conventions:
+
+- every computed column is aliased identically in both engines
+- every float column is round()ed to 6 digits in both engines (a value-hash
+  can't tolerate last-ulp drift between two engines' summation orders)
+- ties anywhere near a LIMIT boundary are broken on a unique integer key
+- entries whose Spark side uses seeded NumPy state (LSH hyperplanes, IVF
+  codebooks) have no SQL mirror -> oracle_sql omits them (rows-only check)
+
+The registry doubles as our local pre-flight: tests/test_driver_contract.py
+replays the driver's comparison for every pair before the driver ever does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.functions.text_stats import (
+    lang_id_exprs_duckdb,
+    lang_id_exprs_spark,
+    md5_int64_duckdb,
+    quality_exprs_duckdb,
+    quality_exprs_spark,
+    tokenize_sql_duckdb,
+)
+from bliss_rs_spark.session import ship_package
+
+BM25_QUERY = "spark hash join merge sort"
+BM25_K = 20
+CFG = IndexConfig()
+
+# DuckDB building blocks reused across oracle strings ------------------------
+
+_TOKS_DD = tokenize_sql_duckdb("text")
+
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest({_TOKS_DD}) AS term FROM documents
+)"""
+
+_SHINGLES_CTE = f"""
+tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM tarr, unnest(generate_series(0, len(t) - 3)) AS g(i)
+  WHERE len(t) >= 3
+)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bliss_rs_spark.corpus import documents_from_testdata
+
+    ship_package(spark)
+    return documents_from_testdata(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# --- engine pipeline queries --------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: end-to-end index build + exhaustive BM25 top-k (T1/J1/A7/F2)."""
+    from bliss_rs_spark.operators.bm25 import bm25_topk
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    docs = _docs_adapted(spark, sf_dir)
+    idx = build_index_frames(docs, CFG)
+    out = bm25_topk(spark, idx.postings, idx.term_stats, idx.avgdl, BM25_QUERY, BM25_K, CFG)
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+_BM25_TERMS_SQL = "(VALUES " + ", ".join(
+    f"('{t}')" for t in ["hash", "join", "merge", "sort", "spark"]
+) + ")"
+
+ORACLE_BM25 = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_BM25_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full term->df table (A4/A7: the df aggregation of the index build)."""
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    return idx.term_stats.select("term", "df", _r6(F.col("idf")).alias("idf_r"))
+
+
+ORACLE_TERM_DF = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+n AS (SELECT count(*)::double AS n FROM documents)
+SELECT term, count(*) AS df,
+       round(ln((n.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0), 6) AS idf_r
+FROM tf, n GROUP BY term, n.n
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts from the tokenizer UDF (F5/A4)."""
+    from bliss_rs_spark.operators.build_index import build_doc_stats, tokenize_documents
+
+    tok = tokenize_documents(_docs_adapted(spark, sf_dir), CFG)
+    return build_doc_stats(tok).select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+ORACLE_DOC_LENGTHS = f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id, coalesce(x.dl, 0)::bigint AS dl
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x ON d.doc_id = x.doc_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global index stats: N, vocabulary, postings count, avgdl (A1/U4)."""
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    n_postings = idx.postings.count()
+    vocab = idx.term_stats.count()
+    return spark.createDataFrame(
+        [(idx.n_docs, vocab, n_postings, round(idx.avgdl, 6))],
+        "n_docs long, vocab long, n_postings long, avgdl_r double",
+    )
+
+
+ORACLE_CORPUS_STATS = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+SELECT (SELECT count(*) FROM documents)::bigint AS n_docs,
+       (SELECT count(DISTINCT term) FROM toks)::bigint AS vocab,
+       (SELECT count(*) FROM tf)::bigint AS n_postings,
+       round((SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents), 6) AS avgdl_r
+"""
+
+
+def q_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew histogram: terms in >=30% of docs — the salting candidates (A8)."""
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    thr = 0.3 * idx.n_docs
+    return idx.term_stats.filter(F.col("df") >= thr).select("term", "df")
+
+
+ORACLE_HOT_TERMS = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+SELECT term, count(*) AS df FROM tf
+GROUP BY term HAVING count(*) >= 0.3 * (SELECT count(*) FROM documents)
+"""
+
+
+def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE incremental-build anti-join (J3/U2): docs not yet in the manifest."""
+    docs = _docs(spark, sf_dir)
+    indexed = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id")
+    return docs.join(indexed, "doc_id", "left_anti").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+ORACLE_INCREMENTAL_DELTA = """
+SELECT doc_id, sha256(text) AS content_sha256
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents i WHERE i.doc_id % 10 < 8 AND i.doc_id = d.doc_id
+)
+"""
+
+
+# --- dedup --------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 hash-groupBy (P7 exact tier)."""
+    from bliss_rs_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_adapted(spark, sf_dir)).select(
+        "content_sha256", "n_docs", "keep_doc_id"
+    )
+
+
+ORACLE_EXACT_DUP = """
+SELECT sha256(text) AS content_sha256, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-token-stream fingerprint groups (whitespace/case-insensitive dedup)."""
+    from bliss_rs_spark.operators.dedup import with_fingerprint
+
+    return (
+        with_fingerprint(_docs_adapted(spark, sf_dir))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT md5(array_to_string({_TOKS_DD}, ' ')) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms) over word-3-gram shingles."""
+    from bliss_rs_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs_adapted(spark, sf_dir), n_hashes=8).select(
+        "doc_id", F.col("perm").cast("int").alias("perm"), "minhash"
+    )
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH {_SHINGLES_CTE},
+h AS (
+  SELECT doc_id, perm,
+         {md5_int64_duckdb("perm::varchar || ':' || shingle")} AS h
+  FROM sh, unnest(generate_series(0, 7)) AS p(perm)
+)
+SELECT doc_id, perm::int AS perm, min(h) AS minhash FROM h GROUP BY 1, 2
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band -> bucket join -> exact Jaccard verify."""
+    from bliss_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_adapted(spark, sf_dir), n_hashes=8, bands=4, jaccard_threshold=0.05
+    ).select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard_r"))
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SHINGLES_CTE},
+h AS (
+  SELECT doc_id, perm,
+         {md5_int64_duckdb("perm::varchar || ':' || shingle")} AS h
+  FROM sh, unnest(generate_series(0, 7)) AS p(perm)
+),
+sig AS (SELECT doc_id, perm, min(h) AS minhash FROM h GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, (perm // 2) AS band,
+         string_agg(minhash::varchar, '_' ORDER BY minhash) AS bkey
+  FROM sig GROUP BY doc_id, (perm // 2)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c::double / (sa.n + sb.n - i.c), 6) AS jaccard_r
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.c::double / (sa.n + sb.n - i.c) >= 0.05
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the LSH recall oracle)."""
+    from bliss_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_adapted(spark, sf_dir), jaccard_threshold=0.05).select(
+        "doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard_r")
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c::double / (sa.n + sb.n - i.c), 6) AS jaccard_r
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.c::double / (sa.n + sb.n - i.c) >= 0.05
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints of the tf-weighted token stream."""
+    from bliss_rs_spark.operators.dedup import simhash64
+
+    return simhash64(_docs_adapted(spark, sf_dir)).select("doc_id", "simhash")
+
+
+ORACLE_SIMHASH = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {md5_int64_duckdb("term")} AS h FROM tf),
+bits AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, unnest(generate_series(0, 63)) AS b(bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0::bigint END)::bigint AS simhash
+FROM bits GROUP BY 1
+"""
+
+
+# --- similarity search ---------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (exact ANN baseline)."""
+    from bliss_rs_spark.operators.similarity import cosine_topk_by_id
+
+    return cosine_topk_by_id(_emb(spark, sf_dir), query_id=0, k=10).select(
+        "vec_id", _r6(F.col("cosine")).alias("cosine_r")
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT embedding::double[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_dot_product(e.embedding::double[], q.qe)
+         / (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))
+            * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_r
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_dot_product(e.embedding::double[], q.qe)
+         / (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))
+            * sqrt(list_dot_product(q.qe, q.qe))) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (seeded codebook; rows-only oracle)."""
+    from bliss_rs_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    vec = [float(x) for x in qrow[0][0]]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), vec, k=10).select(
+        "vec_id", _r6(F.col("cosine")).alias("cosine_r")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs (seeded planes; rows-only oracle)."""
+    from bliss_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), cosine_threshold=0.9).select(
+        "id_a", "id_b", _r6(F.col("cosine")).alias("cosine_r")
+    )
+
+
+# --- text analysis --------------------------------------------------------------
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals, all JVM-side expressions."""
+    docs = _docs(spark, sf_dir)
+    exprs = quality_exprs_spark("text")
+    return docs.select(
+        "doc_id",
+        F.expr(exprs["n_tokens"]).cast("long").alias("n_tokens"),
+        F.expr(exprs["n_distinct_tokens"]).cast("long").alias("n_distinct_tokens"),
+        _r6(F.expr(exprs["stopword_ratio"])).alias("stopword_ratio_r"),
+        _r6(F.expr(exprs["mean_token_len"])).alias("mean_token_len_r"),
+        _r6(F.expr(exprs["alnum_ratio"])).alias("alnum_ratio_r"),
+    )
+
+
+def _oracle_quality() -> str:
+    e = quality_exprs_duckdb("text")
+    return f"""
+SELECT doc_id,
+       {e['n_tokens']}::bigint AS n_tokens,
+       {e['n_distinct_tokens']}::bigint AS n_distinct_tokens,
+       round({e['stopword_ratio']}, 6) AS stopword_ratio_r,
+       round({e['mean_token_len']}, 6) AS mean_token_len_r,
+       round({e['alnum_ratio']}, 6) AS alnum_ratio_r
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (heuristic, deterministic)."""
+    docs = _docs(spark, sf_dir)
+    score_cols, pick = lang_id_exprs_spark("text")
+    scored = docs.selectExpr("doc_id", "lang", *score_cols)
+    return scored.select(
+        "doc_id", F.col("lang").alias("lang_declared"), F.expr(pick).alias("lang_pred")
+    )
+
+
+def _oracle_lang_id() -> str:
+    score_cols, pick = lang_id_exprs_duckdb("text")
+    inner = ", ".join(score_cols)
+    return f"""
+SELECT doc_id, lang_declared, {pick} AS lang_pred
+FROM (SELECT doc_id, lang AS lang_declared, {inner} FROM documents)
+"""
+
+
+# --- classic relational coverage (window / union / percentile / geomean etc.) ---
+
+def q_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest docs per language (W2: rank window within groups)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+ORACLE_TOPK_PER_LANG = """
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
+def q_adjacent_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-row lag within ranked order (W1: the dedup-iterator idiom,
+    /root/reference/src/playlist.rs:372-397)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce(
+            F.col("n_chars") - F.lag("n_chars").over(w), F.lit(-1)
+        ).cast("long").alias("gap"),
+    )
+
+
+ORACLE_ADJACENT_GAP = """
+SELECT doc_id, lang, n_chars,
+       coalesce(n_chars - lag(n_chars) OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC), -1)::bigint AS gap
+FROM documents
+"""
+
+
+def q_seed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeds ++ ranked-rest union (U3: src/library.rs:836-837 chain)."""
+    docs = _docs(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") < 5).select("doc_id", F.lit("seed").alias("tag"))
+    rest = (
+        docs.filter(F.col("doc_id") >= 5)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select("doc_id", F.lit("ranked").alias("tag"))
+    )
+    return seeds.unionByName(rest)
+
+
+ORACLE_SEED_UNION = """
+SELECT doc_id, 'seed' AS tag FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id, 'ranked' AS tag FROM (
+  SELECT doc_id FROM documents WHERE doc_id >= 5
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+)
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean/std/median/geomean (A1/A2/A3/A6) on n_chars."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.avg("n_chars")).alias("mean_r"),
+        _r6(F.stddev_pop("n_chars")).alias("std_r"),
+        _r6(F.expr("percentile(n_chars, 0.5)")).alias("median_r"),
+        _r6(F.exp(F.avg(F.log(F.col("n_chars").cast("double"))))).alias("geomean_r"),
+    )
+
+
+ORACLE_LANG_STATS = """
+SELECT lang, count(*) AS n,
+       round(avg(n_chars), 6) AS mean_r,
+       round(stddev_pop(n_chars), 6) AS std_r,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_r,
+       round(exp(avg(ln(n_chars::double))), 6) AS geomean_r
+FROM documents GROUP BY lang
+"""
+
+
+def q_histogram_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucket + argmax (A8: pitch_tuning idiom, src/chroma.rs:348-358)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("bucket", F.floor(F.col("n_chars") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bucket"))
+        .limit(1)
+    )
+
+
+ORACLE_HISTOGRAM_ARGMAX = """
+SELECT (n_chars // 50)::bigint AS bucket, count(*) AS cnt
+FROM documents GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT 1
+"""
+
+
+def q_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance weights per group, normalized (A13:
+    variance_based_weight_matrix, /root/reference/src/playlist.rs:173-221)."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(F.var_samp("n_chars").alias("v"))
+    total = per_lang.agg(
+        F.sum(1.0 / F.col("v")).alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per_lang.crossJoin(total)
+        .select(
+            "lang",
+            _r6((1.0 / F.col("v")) / F.col("s") * F.col("k")).alias("weight_r"),
+        )
+    )
+
+
+ORACLE_VARIANCE_WEIGHTS = """
+WITH v AS (SELECT lang, var_samp(n_chars) AS v FROM documents GROUP BY lang),
+t AS (SELECT sum(1.0 / v) AS s, count(*) AS k FROM v)
+SELECT lang, round((1.0 / v.v) / t.s * t.k, 6) AS weight_r FROM v, t
+"""
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped agg over lineitem — the general groupBy+agg surface
+    (A1/A2/A5 family) exercised on the largest testdata table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_r"),
+            _r6(F.avg("l_quantity")).alias("avg_qty_r"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "revenue_r", "avg_qty_r", "cnt")
+    )
+
+
+ORACLE_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue_r,
+       round(avg(l_quantity), 6) AS avg_qty_r,
+       count(*) AS cnt
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- registry -------------------------------------------------------------------
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    return {
+        "bm25_topk": (q_bm25_topk, ORACLE_BM25),
+        "term_df": (q_term_df, ORACLE_TERM_DF),
+        "doc_lengths": (q_doc_lengths, ORACLE_DOC_LENGTHS),
+        "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
+        "hot_terms": (q_hot_terms, ORACLE_HOT_TERMS),
+        "incremental_delta": (q_incremental_delta, ORACLE_INCREMENTAL_DELTA),
+        "exact_dup_groups": (q_exact_dup_groups, ORACLE_EXACT_DUP),
+        "fingerprint_groups": (q_fingerprint_groups, ORACLE_FINGERPRINT),
+        "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIG),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD),
+        "simhash": (q_simhash, ORACLE_SIMHASH),
+        "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+        "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "embedding_neardup": (q_embedding_neardup, None),
+        "quality": (q_quality, _oracle_quality()),
+        "lang_id": (q_lang_id, _oracle_lang_id()),
+        "topk_per_lang": (q_topk_per_lang, ORACLE_TOPK_PER_LANG),
+        "adjacent_gap": (q_adjacent_gap, ORACLE_ADJACENT_GAP),
+        "seed_union": (q_seed_union, ORACLE_SEED_UNION),
+        "lang_stats": (q_lang_stats, ORACLE_LANG_STATS),
+        "histogram_argmax": (q_histogram_argmax, ORACLE_HISTOGRAM_ARGMAX),
+        "variance_weights": (q_variance_weights, ORACLE_VARIANCE_WEIGHTS),
+        "lineitem_pricing": (q_lineitem_pricing, ORACLE_LINEITEM_PRICING),
+    }

@@ -56,8 +56,14 @@ def ship_package(spark: SparkSession) -> None:
     Required whenever the SparkSession wasn't created from inside the repo
     (e.g. the driver harness creates its own session): pandas UDFs pickle by
     reference to this module, so workers must be able to import it.
+    Idempotent per (session, zip-content) pair.
     """
-    spark.sparkContext.addPyFile(package_zip())
+    zpath = package_zip()
+    shipped = getattr(spark, "_bliss_shipped", None)
+    if shipped == zpath:
+        return
+    spark.sparkContext.addPyFile(zpath)
+    spark._bliss_shipped = zpath
 
 
 def get_spark(
