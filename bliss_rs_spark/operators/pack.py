@@ -1,0 +1,173 @@
+"""Packed posting-list construction: doc-sharded, salted, sorted-run merged,
+delta+varbyte compressed, with block-max metadata.
+
+Physical layout (one row per (shard, term)):
+
+    shard int, term string, df int,
+    blocks array<struct<first_doc long, last_doc long, n int,
+                        max_tsc double, docs binary, tfs binary, dls binary>>
+
+- ``shard = pmod(xxhash64(doc_id), n_doc_shards)``: DOC-sharded, so query-time
+  top-k is shard-local and the cross-shard merge is exact (a term-partitioned
+  layout cannot accumulate one doc's score without a second shuffle).
+- ``max_tsc`` = per-block max of tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) — the
+  idf-free score component; multiplied by idf at query time it is the block
+  upper bound used by WAND pruning.
+- Skew (SURVEY.md §4.1): posting rows of hot terms (df above
+  cfg.hot_term_df_ratio*N) are salted into cfg.n_salts sub-groups; stage 1
+  emits per-salt sorted runs, stage 2 merges the runs per (shard, term) —
+  the reference's "per-partition sorted-run merge".  Cold terms take the
+  same two-stage path with salt=0 (one run), so there is exactly one code
+  path to test.
+- Determinism: blocks depend only on the sorted (doc_id, tf, dl) set, so a
+  rebuild from the same corpus is byte-identical (resumability invariant,
+  cf. the reference's decoder-agnostic canonical form).
+
+Reference parity: the exploded feature table + transactional per-song
+rewrite (/root/reference/src/library.rs:1544-1633) maps to this per-(shard,
+term) packed row; the reference's `UNIQUE(song_id, feature_index)` maps to
+doc_ids being unique within a posting list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.functions.codec import encode_doc_ids, varbyte_encode
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("max_tsc", T.DoubleType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df_shard", T.IntegerType(), False),
+        T.StructField("blocks", T.ArrayType(BLOCK_SCHEMA), False),
+    ]
+)
+
+
+def _tsc(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    norm = (1.0 - b) + b * dl.astype(np.float64) / float(avgdl)
+    return tf * (k1 + 1.0) / (tf + k1 * norm)
+
+
+def _pack_rows(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+               cfg: IndexConfig, avgdl: float) -> list[dict]:
+    """Sorted postings of ONE (shard, term) -> list of block structs."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+    tsc = _tsc(tfs, dls, cfg.k1, cfg.b, avgdl)
+    blocks = []
+    bs = cfg.block_size
+    for s in range(0, len(doc_ids), bs):
+        e = min(s + bs, len(doc_ids))
+        blocks.append(
+            {
+                "first_doc": int(doc_ids[s]),
+                "last_doc": int(doc_ids[e - 1]),
+                "n": int(e - s),
+                "max_tsc": float(tsc[s:e].max()),
+                "docs": encode_doc_ids(doc_ids[s:e]),
+                "tfs": varbyte_encode(tfs[s:e].astype(np.uint64)),
+                "dls": varbyte_encode(dls[s:e].astype(np.uint64)),
+            }
+        )
+    return blocks
+
+
+def build_packed_index(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Flat postings (term, doc_id, tf, dl) -> packed per-(shard, term) rows.
+
+    Two-stage salted build; both stages are applyInPandas group maps (Arrow
+    batches).  Stage boundaries are ordinary hash shuffles on bounded keys:
+    (shard, term, salt) then (shard, term) — no key ever aggregates more than
+    |shard| postings of one term, and hot terms split further by salt.
+    """
+    cfg = cfg or IndexConfig()
+    hot_thr = max(2.0, cfg.hot_term_df_ratio * n_docs)
+    hot = term_stats.filter(F.col("df") >= hot_thr).select(
+        "term", F.lit(True).alias("is_hot")
+    )
+
+    salted = (
+        postings.join(F.broadcast(hot), "term", "left")
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int"))
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(cfg.n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .select("shard", "term", "salt", "doc_id", "tf", "dl")
+    )
+
+    def make_run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "term": [pdf["term"].iloc[0]],
+                "n": [len(pdf)],
+                "docs": [encode_doc_ids(pdf["doc_id"].to_numpy(np.int64))],
+                "tfs": [varbyte_encode(pdf["tf"].to_numpy(np.uint64))],
+                "dls": [varbyte_encode(pdf["dl"].to_numpy(np.uint64))],
+            }
+        )
+
+    runs = salted.groupBy("shard", "term", "salt").applyInPandas(make_run, RUN_SCHEMA)
+
+    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    cfg_small = IndexConfig(k1=k1, b=b, block_size=bs)
+
+    def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+        doc_ids = np.concatenate([decode_doc_ids(x) for x in pdf["docs"]])
+        tfs = np.concatenate([varbyte_decode(x) for x in pdf["tfs"]])
+        dls = np.concatenate([varbyte_decode(x) for x in pdf["dls"]])
+        blocks = _pack_rows(doc_ids, tfs, dls, cfg_small, avgdl)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "term": [pdf["term"].iloc[0]],
+                "df_shard": [int(len(doc_ids))],
+                "blocks": [blocks],
+            }
+        )
+
+    return runs.groupBy("shard", "term").applyInPandas(merge_runs, PACKED_SCHEMA)

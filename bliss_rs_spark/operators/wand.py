@@ -1,0 +1,221 @@
+"""Block-max WAND top-k over the packed doc-sharded index.
+
+Catalyst cannot reason about score upper bounds (SURVEY.md §4.2), so pruning
+lives in an ``applyInPandas`` group map: each doc-shard independently runs
+document-at-a-time WAND (Broder et al., CIKM 2003) with block-max refinement
+(Ding & Suel, SIGIR 2011) over its compressed posting lists, emits its local
+top-k, and the global answer is the exact merge of shard top-ks — per-shard
+top-k is exact because a shard owns EVERY query term's postings for its doc
+subset (the reason the packed index is doc-sharded, operators/pack.py).
+
+Exactness guarantees (tested rank-identical vs the exhaustive scorer):
+- pruning uses strict ``upper_bound < theta``; candidates whose bound ties
+  the current k-th score are still evaluated, so (score DESC, doc_id ASC)
+  tie-breaks survive;
+- the skip target after a failed block-max check is capped by the next
+  cursor's doc, so docs reachable by non-participating cursors are never
+  jumped over;
+- scores are float64 sums of the same tf/dl/idf formula the exhaustive path
+  uses, accumulated in sorted-term cursor order (deterministic).
+
+The per-shard loop is driver-free Python over NumPy-decoded blocks — the
+one place the engine pays Python cost, bounded by (query terms x blocks
+actually decoded), which is exactly what block-max skipping minimizes.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.operators.bm25 import query_terms
+
+
+class _Cursor:
+    """One term's posting cursor within a shard: lazy block decode + seek."""
+
+    __slots__ = ("blocks", "idf", "ub", "bi", "i", "docs", "tscs", "cur")
+
+    def __init__(self, blocks, idf: float, k1: float, b: float, avgdl: float):
+        # blocks: list of dict-like rows (first_doc, last_doc, n, max_tsc, docs, tfs, dls)
+        self.blocks = blocks
+        self.idf = idf
+        self.ub = idf * max(bl["max_tsc"] for bl in blocks)
+        self.bi = 0
+        self.i = 0
+        self.docs = None
+        self.tscs = None
+        self.cur = math.inf
+        self._decode()
+        self.cur = int(self.docs[0])
+
+    def _decode(self):
+        from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+        bl = self.blocks[self.bi]
+        self.docs = decode_doc_ids(bl["docs"])
+        tf = varbyte_decode(bl["tfs"]).astype(np.float64)
+        dl = varbyte_decode(bl["dls"]).astype(np.float64)
+        self.tscs = tf * self._k1p1 / (tf + self._k1 * (self._b1 + self._bb * dl))
+        self.i = 0
+
+    # class-level scoring constants, set once per shard run (set_params)
+    _k1 = 1.2
+    _k1p1 = 2.2
+    _b1 = 0.25
+    _bb = 0.75 / 1.0
+
+    @classmethod
+    def set_params(cls, k1: float, b: float, avgdl: float):
+        cls._k1 = k1
+        cls._k1p1 = k1 + 1.0
+        cls._b1 = 1.0 - b
+        cls._bb = b / float(avgdl)
+
+    def tsc(self) -> float:
+        return float(self.tscs[self.i])
+
+    def advance(self):
+        self.i += 1
+        if self.i < len(self.docs):
+            self.cur = int(self.docs[self.i])
+            return
+        self.bi += 1
+        if self.bi >= len(self.blocks):
+            self.cur = math.inf
+            return
+        self._decode()
+        self.cur = int(self.docs[0])
+
+    def seek(self, d: int):
+        """Position at the first doc >= d, skipping whole blocks undecoded."""
+        if self.cur >= d:  # also covers the exhausted (inf) cursor
+            return
+        if d <= int(self.blocks[self.bi]["last_doc"]):
+            j = int(np.searchsorted(self.docs, d, side="left"))
+            self.i = j
+            self.cur = int(self.docs[j])
+            return
+        bi = self.bi + 1
+        nb = len(self.blocks)
+        while bi < nb and int(self.blocks[bi]["last_doc"]) < d:
+            bi += 1
+        self.bi = bi
+        if bi >= nb:
+            self.cur = math.inf
+            return
+        self._decode()
+        j = int(np.searchsorted(self.docs, d, side="left"))
+        self.i = j
+        self.cur = int(self.docs[j])
+
+    def block_last(self) -> int:
+        return int(self.blocks[self.bi]["last_doc"])
+
+    def block_max(self) -> float:
+        return self.idf * float(self.blocks[self.bi]["max_tsc"])
+
+
+def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float):
+    """rows: [(blocks, idf)] per query term present in this shard."""
+    _Cursor.set_params(k1, b, avgdl)
+    cursors = [_Cursor(blocks, idf, k1, b, avgdl) for blocks, idf in rows]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
+
+    while True:
+        active = [c for c in cursors if c.cur != math.inf]
+        if not active:
+            break
+        active.sort(key=lambda c: c.cur)
+        full = len(heap) >= k
+        theta = heap[0][0] if full else -math.inf
+
+        acc = 0.0
+        p = -1
+        for i, c in enumerate(active):
+            acc += c.ub
+            if not full or acc >= theta:
+                p = i
+                break
+        if p < 0:
+            break  # even all UBs together cannot reach theta
+        pivot = active[p].cur
+        while p + 1 < len(active) and active[p + 1].cur == pivot:
+            p += 1
+
+        if active[0].cur == pivot:
+            # all cursors [0..p] sit on pivot; block-max refinement
+            if full:
+                bm = sum(c.block_max() for c in active[: p + 1])
+                if bm < theta:
+                    d2 = min(c.block_last() for c in active[: p + 1]) + 1
+                    if p + 1 < len(active):
+                        d2 = min(d2, active[p + 1].cur)
+                    d2 = max(d2, pivot + 1)
+                    for c in active[: p + 1]:
+                        c.seek(d2)
+                    continue
+            s = 0.0
+            for c in active[: p + 1]:
+                s += c.idf * c.tsc()
+                c.advance()
+            cand = (s, -pivot)
+            if not full:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+        else:
+            for c in active[:p]:
+                c.seek(pivot)
+
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(doc, s) for s, doc in out]
+
+
+def wand_topk(
+    spark: SparkSession,
+    packed: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    query_text: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Block-max WAND top-k: shard-local pruned scoring + exact global merge."""
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query_text, lang, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_rows = (
+        term_stats.filter(F.col("term").isin(terms)).select("term", "idf").collect()
+    )
+    idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    k1, b = cfg.k1, cfg.b
+    kk = k
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term in sorted(pdf["term"]):
+            sub = pdf[pdf["term"] == term]
+            blocks = list(sub["blocks"].iloc[0])
+            rows.append((blocks, idfs[term]))
+        top = _wand_shard(rows, kk, k1, b, avgdl)
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    pruned = packed.filter(F.col("term").isin(list(idfs)))
+    per_shard = pruned.groupBy("shard").applyInPandas(
+        shard_fn, "doc_id long, score double"
+    )
+    return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
