@@ -138,6 +138,58 @@ def with_invariants(docs: DataFrame) -> DataFrame:
     )
 
 
+FILE_MARKER = "\n===FILE:"
+
+
+def pack_repo_blobs(docs: DataFrame) -> DataFrame:
+    """Inverse fixture for explode_repo_blobs: concatenate each repo's files
+    into one container blob (`===FILE:<commit>|<path>===\\n<content>`)."""
+    return docs.groupBy("repo").agg(
+        F.concat_ws(
+            "",
+            F.collect_list(
+                F.concat(
+                    F.lit(FILE_MARKER),
+                    F.col("commit"),
+                    F.lit("|"),
+                    F.col("path"),
+                    F.lit("===\n"),
+                    F.col("content"),
+                )
+            ),
+        ).alias("blob"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+def explode_repo_blobs(blobs: DataFrame) -> DataFrame:
+    """Container explode: one repo blob -> N per-file document rows with a
+    provenance struct — the reference's CUE sheet handling (one container
+    audio file -> many Song rows each carrying CueInfo provenance,
+    /root/reference/src/cue.rs:74-107, slicing at :208-245).
+
+    Pure JVM: split on the file marker, posexplode for the per-file ordinal
+    (the track-number analogue), regexp for the path header.
+    """
+    parts = F.split(F.col("blob"), F.lit(FILE_MARKER))
+    exploded = blobs.select(
+        "repo",
+        "n_files",
+        F.posexplode(parts).alias("pos", "chunk"),
+    ).filter(F.col("pos") > 0)  # chunk 0 is the empty prefix before the first marker
+    return exploded.select(
+        "repo",
+        F.regexp_extract("chunk", r"^([0-9a-f]+)\|", 1).alias("commit"),
+        F.regexp_extract("chunk", r"^[0-9a-f]+\|(.*?)===\n", 1).alias("path"),
+        F.regexp_replace("chunk", r"^[0-9a-f]+\|(.*?)===\n", "").alias("content"),
+        F.struct(
+            F.col("pos").alias("ordinal"),
+            F.col("n_files").alias("container_files"),
+            F.lit("repo_blob").alias("container_kind"),
+        ).alias("provenance"),
+    )
+
+
 def documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table to input_hint shape.
 

@@ -40,21 +40,19 @@ _RULE_A = re.compile(r"([A-Z]+)([A-Z][a-z])")
 _RULE_B = re.compile(r"([a-z0-9])([A-Z])")
 _SPLIT = re.compile(r"[^a-z0-9]+")
 
+# Parallel primitive arrays (terms[i] occurs tfs[i] times), NOT an
+# array<struct>: Arrow converts list<string>/list<int> columns from pandas
+# ~10x faster than list<struct> built from Python dicts, and the pair zips
+# back together JVM-side via arrays_zip at explode time.
 TOKENS_SCHEMA = T.StructType(
     [
-        T.StructField(
-            "tokens",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType(), False),
-                        T.StructField("tf", T.IntegerType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
-        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("terms", T.ArrayType(T.StringType()), True),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), True),
+        T.StructField("dl", T.IntegerType(), True),
+        # per-row failure capture: skip-and-record, never abort the job
+        # (ref: store_failed_song, /root/reference/src/library.rs:1639-1668;
+        #  null content is recorded like the reference's `error text` column)
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -82,38 +80,60 @@ def term_counts(text: str, lang: str | None = None, lang_tagging: bool = False) 
 
 
 def make_tokenize_udf(lang_tagging: bool = False):
-    """Vectorized tokenizer: (content, lang) -> struct<tokens array<struct<term,tf>>, dl int>.
+    """Vectorized tokenizer: (content, lang) -> struct<terms array<string>,
+    tfs array<int>, dl int, error string>.
 
-    tokens are sorted by term for deterministic output (resumability: the
+    terms are sorted for deterministic output (resumability: the
     same input batch always produces byte-identical rows, cf. the reference's
     decoder-agnostic canonical-form invariant).
     """
 
     @F.pandas_udf(TOKENS_SCHEMA)
     def tokenize(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
-        out_tokens = []
+        out_terms = []
+        out_tfs = []
         out_dl = []
+        out_err = []
         for text, lg in zip(content, lang):
-            counts = term_counts(
-                text if isinstance(text, str) else "",
-                lg if isinstance(lg, str) else None,
-                lang_tagging,
-            )
-            items = sorted(counts.items())
-            out_tokens.append([{"term": t, "tf": int(c)} for t, c in items])
-            out_dl.append(int(sum(counts.values())))
-        return pd.DataFrame({"tokens": out_tokens, "dl": out_dl})
+            if text is None:
+                out_terms.append(None)
+                out_tfs.append(None)
+                out_dl.append(None)
+                out_err.append("null content")
+                continue
+            try:
+                counts = term_counts(
+                    str(text), lg if isinstance(lg, str) else None, lang_tagging
+                )
+                items = sorted(counts.items())
+                out_terms.append([t for t, _ in items])
+                out_tfs.append([int(c) for _, c in items])
+                out_dl.append(int(sum(counts.values())))
+                out_err.append(None)
+            except Exception as e:  # skip-and-record, never abort
+                out_terms.append(None)
+                out_tfs.append(None)
+                out_dl.append(None)
+                out_err.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame(
+            {"terms": out_terms, "tfs": out_tfs, "dl": out_dl, "error": out_err}
+        )
 
     return tokenize
 
 
 def with_tokens(df, content_col: str = "content", lang_col: str = "lang", lang_tagging: bool = False):
-    """Append ``tokens`` (array<struct<term,tf>>) and ``dl`` columns."""
+    """Append ``terms``/``tfs`` parallel arrays, ``dl`` and ``error`` columns."""
     udf = make_tokenize_udf(lang_tagging)
     tk = udf(F.col(content_col), F.col(lang_col))
-    return df.withColumn("_tk", tk).withColumn("tokens", F.col("_tk.tokens")).withColumn(
-        "dl", F.col("_tk.dl")
-    ).drop("_tk")
+    return (
+        df.withColumn("_tk", tk)
+        .withColumn("terms", F.col("_tk.terms"))
+        .withColumn("tfs", F.col("_tk.tfs"))
+        .withColumn("dl", F.col("_tk.dl"))
+        .withColumn("error", F.col("_tk.error"))
+        .drop("_tk")
+    )
 
 
 # --- SQL mirrors of the spec -------------------------------------------------

@@ -39,6 +39,19 @@ def tokenize_documents(docs: DataFrame, cfg: IndexConfig | None = None) -> DataF
     return with_tokens(docs, "content", "lang", cfg.lang_tagging)
 
 
+def split_errors(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ok rows, error ledger rows).  Failed tokenizations never abort the
+    build; they land in the _errors table (ref: store_failed_song,
+    /root/reference/src/library.rs:1639-1668) and are excluded from every
+    downstream stat — the `analyzed = true` predicate analogue
+    (/root/reference/src/library.rs:1019-1022)."""
+    ok = tokenized.filter(F.col("error").isNull())
+    errors = tokenized.filter(F.col("error").isNotNull()).select(
+        "repo", "path", "commit", "doc_id", "error", F.current_timestamp().alias("ts")
+    )
+    return ok, errors
+
+
 def build_doc_stats(tokenized: DataFrame) -> DataFrame:
     """Per-document stats table: the ``song`` row analogue
     (/root/reference/src/library.rs:500-519)."""
@@ -56,14 +69,16 @@ def build_postings(tokenized: DataFrame, cfg: IndexConfig | None = None) -> Data
     physical partition key: queries prune to the buckets of their terms.
     """
     cfg = cfg or IndexConfig()
-    tok = tokenized.select("doc_id", "dl", F.explode("tokens").alias("t"))
+    tok = tokenized.select(
+        "doc_id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("t")
+    )
     return tok.select(
-        F.col("t.term").alias("term"),
-        F.pmod(F.xxhash64(F.col("t.term")), F.lit(cfg.n_term_buckets))
+        F.col("t.terms").alias("term"),
+        F.pmod(F.xxhash64(F.col("t.terms")), F.lit(cfg.n_term_buckets))
         .cast("int")
         .alias("term_bucket"),
         "doc_id",
-        F.col("t.tf").alias("tf"),
+        F.col("t.tfs").alias("tf"),
         "dl",
     )
 
@@ -126,7 +141,8 @@ def build_index_frames(docs: DataFrame, cfg: IndexConfig | None = None) -> InMem
     # (sources/index_store.py) gets the same effect by writing the tokenized
     # table to parquet and deriving both outputs from the written files.
     cfg = cfg or IndexConfig()
-    tokenized = tokenize_documents(docs, cfg).cache()
+    tokenized, _errors = split_errors(tokenize_documents(docs, cfg))
+    tokenized = tokenized.cache()
     doc_stats = build_doc_stats(tokenized)
     stats = corpus_stats(doc_stats)
     postings = build_postings(tokenized, cfg)

@@ -173,6 +173,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def bottomk_fingerprint(
+    docs: DataFrame, k: int = 8, n: int = 5, content_col: str = "content"
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest hashes of the
+    doc's rolling n-token windows (bottom-k sketch; Schleimer et al.'s
+    winnowing family — public literature).  Output one row per (doc_id,
+    rank, fp_hash), rank 1..k ascending — join-able for plagiarism-style
+    overlap detection; two docs sharing most fingerprints are near-dups.
+    """
+    from pyspark.sql import Window as W
+
+    sh = with_shingles(docs, content_col, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    hashed = sh.withColumn("fp_hash", F.expr(md5_int64_spark("shingle")))
+    w = W.partitionBy("doc_id").orderBy(F.asc("fp_hash"))
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "fp_hash")
+    )
+
+
 def simhash64(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash of the tf-weighted token stream.
 

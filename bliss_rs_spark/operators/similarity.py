@@ -147,6 +147,38 @@ def ivf_assign(
     return with_d.select(F.col(id_col), F.col(vec_col), cell.cast("int").alias("cell"))
 
 
+def greedy_chain(
+    emb: DataFrame,
+    start_id: int,
+    steps: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int]]:
+    """Iterative nearest-neighbor chain: repeatedly hop to the closest
+    unvisited vector (the reference's song_to_song playlist ordering:
+    repeated argmin with pool removal, /root/reference/src/playlist.rs:
+    272-326).  Inherently sequential -> a driver loop of `steps` top-1
+    queries over a cached DataFrame; each hop is one Spark job.
+
+    Returns [(step, vec_id)] with step 0 = start.
+    """
+    emb = emb.select(id_col, vec_col).cache()
+    visited = [start_id]
+    out = [(0, start_id)]
+    cur_vec = [float(x) for x in emb.filter(F.col(id_col) == start_id).collect()[0][1]]
+    for step in range(1, steps + 1):
+        nxt = (
+            cosine_topk(emb.filter(~F.col(id_col).isin(visited)), cur_vec, 1, vec_col, id_col)
+        ).collect()
+        if not nxt:
+            break
+        nid = int(nxt[0][0])
+        out.append((step, nid))
+        visited.append(nid)
+        cur_vec = [float(x) for x in emb.filter(F.col(id_col) == nid).collect()[0][1]]
+    return out
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -614,6 +614,84 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_bottomk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-window fingerprint (bottom-8 of 5-token hashes)."""
+    from bliss_rs_spark.operators.dedup import bottomk_fingerprint
+
+    return bottomk_fingerprint(_docs_adapted(spark, sf_dir), k=8, n=5)
+
+
+_SHINGLES5_CTE = f"""
+tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] AS shingle
+  FROM tarr, unnest(generate_series(0, len(t) - 5)) AS g(i)
+  WHERE len(t) >= 5
+)"""
+
+ORACLE_BOTTOMK_FP = f"""
+WITH {_SHINGLES5_CTE},
+h AS (SELECT doc_id, {md5_int64_duckdb("shingle")} AS fp_hash FROM sh)
+SELECT doc_id, rank::int AS rank, fp_hash FROM (
+  SELECT doc_id, fp_hash,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash ASC) AS rank
+  FROM h
+) WHERE rank <= 8
+"""
+
+
+def q_greedy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative nearest-neighbor hop chain (T2: song_to_song,
+    /root/reference/src/playlist.rs:272-326): 5 hops from vec_id=0."""
+    from bliss_rs_spark.operators.similarity import greedy_chain
+
+    chain = greedy_chain(_emb(spark, sf_dir), start_id=0, steps=5)
+    return spark.createDataFrame(chain, "step int, vec_id long")
+
+
+def _oracle_greedy_chain(steps: int = 5) -> str:
+    """Chained CTEs, one per hop: argmax cosine among unvisited."""
+    cos = (
+        "list_dot_product(e.embedding::double[], {src}.embedding::double[]) / "
+        "(sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) * "
+        "sqrt(list_dot_product({src}.embedding::double[], {src}.embedding::double[])))"
+    )
+    ctes = ["s0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)"]
+    selects = ["SELECT 0 AS step, vec_id FROM s0"]
+    for i in range(1, steps + 1):
+        visited = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(i))
+        ctes.append(
+            f"s{i} AS (SELECT e.vec_id, e.embedding FROM embeddings e, s{i-1} "
+            f"WHERE e.vec_id NOT IN ({visited}) "
+            f"ORDER BY {cos.format(src=f's{i-1}')} DESC, e.vec_id ASC LIMIT 1)"
+        )
+        selects.append(f"SELECT {i} AS step, vec_id FROM s{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_event_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-partitioned column normalization (A9: per-column l1 normalize,
+    /root/reference/src/chroma.rs:177-188): each event's share of its type's
+    total value."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        _r6(F.col("value") / F.sum("value").over(w)).alias("value_share_r"),
+    )
+
+
+ORACLE_EVENT_VALUE_SHARE = """
+SELECT event_id, event_type,
+       round(value / sum(value) OVER (PARTITION BY event_type), 6) AS value_share_r
+FROM events
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -642,4 +720,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "histogram_argmax": (q_histogram_argmax, ORACLE_HISTOGRAM_ARGMAX),
         "variance_weights": (q_variance_weights, ORACLE_VARIANCE_WEIGHTS),
         "lineitem_pricing": (q_lineitem_pricing, ORACLE_LINEITEM_PRICING),
+        "bottomk_fingerprint": (q_bottomk_fingerprint, ORACLE_BOTTOMK_FP),
+        "greedy_chain": (q_greedy_chain, _oracle_greedy_chain(5)),
+        "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),
     }

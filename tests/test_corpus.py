@@ -36,6 +36,23 @@ def test_planted_duplicates(spark):
     assert dup_groups >= 2  # every 97th doc clones an earlier one
 
 
+def test_repo_blob_roundtrip(spark):
+    """Container explode (S4): pack files into repo blobs, explode back,
+    recover every (repo, commit, path, content) exactly."""
+    from bliss_rs_spark.corpus import explode_repo_blobs, pack_repo_blobs
+
+    docs = synth_documents(spark, 120, seed=42)
+    blobs = pack_repo_blobs(docs)
+    assert blobs.count() < 120  # actually packs many files per container
+    back = explode_repo_blobs(blobs)
+    a = sorted((r["repo"], r["commit"], r["path"], r["content"]) for r in docs.collect())
+    b = sorted((r["repo"], r["commit"], r["path"], r["content"]) for r in back.collect())
+    assert a == b
+    prov = back.select("provenance.*").collect()
+    assert all(p["container_kind"] == "repo_blob" for p in prov)
+    assert all(1 <= p["ordinal"] <= p["container_files"] for p in prov)
+
+
 def test_testdata_adapter(spark):
     df = documents_from_testdata(spark, SF_DIR)
     assert df.count() == 500

@@ -1,0 +1,158 @@
+"""Index lifecycle integration tests — the store-level test tier of the
+reference (tempdir SQLite libraries: upsert/update/delete/failed-song/version
+flows, /root/reference/src/library.rs:1772+)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.corpus import synth_documents, with_invariants
+from bliss_rs_spark.plans.lifecycle import build_full, query_index, update_index
+from bliss_rs_spark.sources.index_store import IndexStore
+from tests.oracle import OracleIndex
+
+CFG = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+
+
+def _docs(spark, n=150, seed=42):
+    return with_invariants(synth_documents(spark, n, seed=seed))
+
+
+def _canon_snapshot(spark, store):
+    """Logical content of the CURRENT snapshot, including packed block bytes."""
+    out = {}
+    for frame in ("doc_stats", "postings", "term_stats", "manifest"):
+        df = store.load(spark, frame)
+        out[frame] = sorted(repr(sorted(r.asDict().items())) for r in df.collect())
+    packed = {}
+    for row in store.load(spark, "packed").collect():
+        packed[(row["shard"], row["term"])] = tuple(
+            (b["first_doc"], b["last_doc"], b["n"], b["max_tsc"],
+             bytes(b["docs"]), bytes(b["tfs"]), bytes(b["dls"]))
+            for b in row["blocks"]
+        )
+    out["packed"] = packed
+    return out
+
+
+def test_full_build_and_query(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    name = build_full(spark, _docs(spark), store, CFG)
+    assert name == "v00001"
+    meta = store.meta()
+    assert meta["n_docs"] == 150
+
+    rows = _docs(spark).select("doc_id", "lang", "content").collect()
+    oracle = OracleIndex([r.asDict() for r in rows])
+    for use_wand in (True, False):
+        got = query_index(spark, store, "varbyte merge return", 10, use_wand=use_wand).collect()
+        exp = oracle.topk("varbyte merge return", 10)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+        for r, (_, es) in zip(got, exp):
+            assert math.isclose(r["score"], es, rel_tol=1e-9)
+
+
+def test_incremental_skip_and_upsert(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    docs_a = _docs(spark, 120)
+    build_full(spark, docs_a, store, CFG, checkpoint=False)
+
+    # second batch: same corpus + 30 new docs -> only 30 processed
+    docs_b = _docs(spark, 150)
+    name = update_index(spark, docs_b, store, CFG)
+    assert name == "v00002"
+    import json, os
+    with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+        m = json.load(f)
+    assert m["docs_processed"] == 30
+    assert m["docs_skipped"] == 120
+    assert store.meta()["n_docs"] == 150
+
+    # updated snapshot must answer queries exactly like a from-scratch build
+    store2 = IndexStore(str(tmp_path / "idx2"))
+    build_full(spark, docs_b, store2, CFG, checkpoint=False)
+    assert _canon_snapshot(spark, store) == _canon_snapshot(spark, store2)
+
+
+def test_update_modified_content(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 100)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+
+    # modify 10 docs' content (same identity -> same doc_id; content change
+    # is detected via content_sha256, the upsert path)
+    modified = docs.withColumn(
+        "content",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("content"), F.lit("\nzzqmutatedzz")))
+        .otherwise(F.col("content")),
+    ).drop("content_sha256").withColumn("content_sha256", F.sha2("content", 256))
+    update_index(spark, modified, store, CFG)
+
+    got = query_index(spark, store, "zzqmutatedzz", 50, use_wand=False).collect()
+    n_mod = docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert len(got) == n_mod  # old postings replaced, new token findable
+
+
+def test_delete_missing(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 100)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    shrunk = docs.filter(F.col("doc_id") % 3 != 0)
+    update_index(spark, shrunk, store, CFG, delete_missing=True)
+    assert store.meta()["n_docs"] == shrunk.count()
+    # vanished docs must not be retrievable
+    remaining = {r["doc_id"] for r in store.load(spark, "doc_stats").collect()}
+    assert remaining == {r["doc_id"] for r in shrunk.select("doc_id").collect()}
+
+
+def test_version_sanity_refusal(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 60), store, CFG, checkpoint=False)
+    newer = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8, analyzer_version=2)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        update_index(spark, _docs(spark, 60), store, newer)
+
+
+def test_failed_rows_ledger(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 80)
+    # poison 5 docs with null content
+    poisoned = docs.withColumn(
+        "content", F.when(F.col("doc_id") % 16 == 0, F.lit(None)).otherwise(F.col("content"))
+    )
+    build_full(spark, poisoned, store, CFG, checkpoint=False)
+    errors = store.load(spark, "errors").collect()
+    n_bad = poisoned.filter(F.col("content").isNull()).count()
+    assert len(errors) == n_bad
+    assert all(e["error"] == "null content" for e in errors)
+    assert store.meta()["n_docs"] == 80 - n_bad
+    failed = store.load(spark, "manifest").filter("status = 'failed'").count()
+    assert failed == n_bad
+
+
+def test_resumable_build_identical(spark, tmp_path):
+    """Kill-and-restart: a build that checkpointed only part of the corpus
+    resumes and produces a snapshot identical to a from-scratch build
+    (FIXTURES.md §6 resume corpus)."""
+    from bliss_rs_spark.plans.lifecycle import _tokenize_with_checkpoint
+
+    docs = _docs(spark, 140)
+    store = IndexStore(str(tmp_path / "idx"))
+
+    # simulate a killed build: only half the corpus reached the checkpoint,
+    # no snapshot was committed
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    _tokenize_with_checkpoint(spark, half, store, CFG)
+    assert store.current_snapshot() is None  # crash before commit
+
+    # restart the full build; only the missing half may be re-tokenized
+    before = store.load_checkpoint(spark).count()
+    build_full(spark, docs, store, CFG, checkpoint=True)
+    after = store.load_checkpoint(spark).count()
+    assert after == 140 and before == half.count()  # no duplicate work
+
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, docs, fresh, CFG, checkpoint=False)
+    assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)

@@ -1,0 +1,63 @@
+"""Structured Streaming surfaces: streamed document batches land in the index
+store as atomic snapshots; windowed event-rate aggregation with watermark."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.corpus import synth_documents
+from bliss_rs_spark.plans.lifecycle import query_index
+from bliss_rs_spark.sources.index_store import IndexStore
+from bliss_rs_spark.streaming.stream_index import (
+    ingest_rate_monitor,
+    stream_documents_to_index,
+)
+
+CFG = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+
+
+def test_stream_documents_to_index(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    store = IndexStore(str(tmp_path / "idx"))
+
+    docs = synth_documents(spark, 120, seed=42).cache()
+    # two "arriving" batches written as separate parquet drops
+    docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0).write.parquet(in_dir + "/batch1")
+    q = stream_documents_to_index(
+        spark, in_dir + "/*", store, CFG, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert store.current_snapshot() is not None
+        n1 = store.meta()["n_docs"]
+        assert 0 < n1 < 120
+
+        docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 1).write.parquet(in_dir + "/batch2")
+        q.processAllAvailable()
+        assert store.meta()["n_docs"] == 120
+    finally:
+        q.stop()
+
+    # the streamed index answers queries like any batch-built one
+    got = query_index(spark, store, "return", 5, use_wand=True).collect()
+    assert len(got) == 5
+
+
+def test_ingest_rate_monitor(spark, tmp_path):
+    agg = ingest_rate_monitor(spark, "/root/testdata/sf0.001", window="1 hour", slide="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rates_t").collect()
+        assert len(rows) > 0
+        total = sum(r["n"] for r in rows)
+        expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+        assert total == expected
+    finally:
+        q.stop()

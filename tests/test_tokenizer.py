@@ -68,7 +68,7 @@ def test_spark_sql_mirror_and_udf(spark):
     for i, (_, content, expected) in enumerate(GOLDEN):
         assert got_sql[i] == expected, content
 
-    got_udf = {r["id"]: (sorted((t["term"], t["tf"]) for t in r["tokens"]), r["dl"])
+    got_udf = {r["id"]: (sorted(zip(r["terms"], r["tfs"])), r["dl"])
                for r in with_tokens(df).collect()}
     for i, (_, content, expected) in enumerate(GOLDEN):
         counts = term_counts(content)

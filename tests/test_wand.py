@@ -109,6 +109,33 @@ def test_salting_engaged(spark, packed_corpus):
     assert total == hot_df
 
 
+def test_grouped_and_sorted_pack_identical(spark, packed_corpus):
+    """The sort-based mapInPandas pack and the two-stage salted groupBy pack
+    must produce byte-identical indexes (two physical strategies, one logical
+    contract — the decoder-agnosticism pattern again)."""
+    from bliss_rs_spark.operators.pack import build_packed_index_grouped
+
+    cfg, idx, packed, _ = packed_corpus
+    grouped = build_packed_index_grouped(
+        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg
+    )
+
+    def canon(df):
+        return {
+            (r["shard"], r["term"]): (
+                r["df_shard"],
+                tuple(
+                    (b["first_doc"], b["last_doc"], b["n"], b["max_tsc"],
+                     bytes(b["docs"]), bytes(b["tfs"]), bytes(b["dls"]))
+                    for b in r["blocks"]
+                ),
+            )
+            for r in df.collect()
+        }
+
+    assert canon(packed) == canon(grouped)
+
+
 def test_compression_ratio(spark, packed_corpus):
     cfg, idx, packed, _ = packed_corpus
     n_postings = idx.postings.count()
