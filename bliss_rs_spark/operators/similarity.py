@@ -18,6 +18,7 @@ Cosine math stays in JVM expressions (zip_with + aggregate in float64).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -145,6 +146,33 @@ def ivf_assign(
         cond = F.col(f"c{i}") == best
         cell = F.when(cond, i) if cell is None else cell.when(cond, i)
     return with_d.select(F.col(id_col), F.col(vec_col), cell.cast("int").alias("cell"))
+
+
+def score_with_model(
+    emb: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score rows with a broadcast trained model (F3 parity: bliss-rs's
+    isolation-forest DistanceMetric scores candidate rows with a model built
+    from the seeds, /root/reference/src/playlist.rs:230-251).
+
+    The model (a weight vector here; any picklable scorer in general) ships
+    once per executor via the UDF closure; scoring is one vectorized
+    matrix-vector product per Arrow batch.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    @F.pandas_udf("double")
+    def model_score(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        z = mat @ w + b
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return emb.select(F.col(id_col), model_score(F.col(vec_col)).alias("model_score"))
 
 
 def greedy_chain(

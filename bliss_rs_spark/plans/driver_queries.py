@@ -467,7 +467,7 @@ def q_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOPK_PER_LANG = """
-SELECT lang, rank, doc_id, n_chars FROM (
+SELECT lang, rank::int AS rank, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
   FROM documents
@@ -614,6 +614,85 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_repo_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-group semi-join (J4/T4/A7: closest_album_to_group,
+    /root/reference/src/playlist.rs:428-474): rank repos by their mean BM25
+    score for a query, keep docs of the top-2 repos via semi-join, order
+    within repo."""
+    from pyspark.sql import Window as W
+
+    from bliss_rs_spark.operators.bm25 import bm25_topk
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    docs = _docs_adapted(spark, sf_dir)
+    idx = build_index_frames(docs, CFG)
+    scored = bm25_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl, BM25_QUERY, 10_000_000, CFG
+    )
+    with_repo = scored.join(docs.select("doc_id", "repo"), "doc_id")
+    top_repos = (
+        with_repo.groupBy("repo")
+        .agg(F.avg("score").alias("mean_score"))
+        .orderBy(F.desc("mean_score"), F.asc("repo"))
+        .limit(2)
+        .select("repo")
+    )
+    kept = with_repo.join(top_repos, "repo", "left_semi")
+    w = W.partitionBy("repo").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rank_in_repo", F.row_number().over(w))
+        .filter(F.col("rank_in_repo") <= 5)
+        .select("repo", "rank_in_repo", "doc_id", _r6(F.col("score")).alias("score_r"))
+    )
+
+
+ORACLE_REPO_GROUP_TOPK = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_BM25_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+),
+with_repo AS (SELECT s.doc_id, s.score, d.source AS repo
+              FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+top_repos AS (
+  SELECT repo FROM with_repo GROUP BY repo
+  ORDER BY avg(score) DESC, repo ASC LIMIT 2
+)
+SELECT repo, rank_in_repo::int AS rank_in_repo, doc_id, score_r FROM (
+  SELECT w.repo, w.doc_id, round(w.score, 6) AS score_r,
+         row_number() OVER (PARTITION BY w.repo ORDER BY w.score DESC, w.doc_id ASC) AS rank_in_repo
+  FROM with_repo w WHERE w.repo IN (SELECT repo FROM top_repos)
+) WHERE rank_in_repo <= 5
+"""
+
+
+def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-model scoring over embeddings (F3; rows-only oracle —
+    seeded NumPy weights)."""
+    import numpy as np
+
+    from bliss_rs_spark.operators.similarity import score_with_model
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal(64) * 0.3
+    return score_with_model(_emb(spark, sf_dir), [float(x) for x in w]).select(
+        "vec_id", _r6(F.col("model_score")).alias("model_score_r")
+    )
+
+
 def q_bottomk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-window fingerprint (bottom-8 of 5-token hashes)."""
     from bliss_rs_spark.operators.dedup import bottomk_fingerprint
@@ -720,6 +799,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "histogram_argmax": (q_histogram_argmax, ORACLE_HISTOGRAM_ARGMAX),
         "variance_weights": (q_variance_weights, ORACLE_VARIANCE_WEIGHTS),
         "lineitem_pricing": (q_lineitem_pricing, ORACLE_LINEITEM_PRICING),
+        "repo_group_topk": (q_repo_group_topk, ORACLE_REPO_GROUP_TOPK),
+        "model_scores": (q_model_scores, None),
         "bottomk_fingerprint": (q_bottomk_fingerprint, ORACLE_BOTTOMK_FP),
         "greedy_chain": (q_greedy_chain, _oracle_greedy_chain(5)),
         "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),
