@@ -33,6 +33,17 @@ def query_terms(query_text: str, lang: str | None = None, cfg: IndexConfig | Non
     return sorted(term_counts(query_text, lang, cfg.lang_tagging).keys())
 
 
+def term_buckets(spark: SparkSession, terms: list[str], cfg: IndexConfig) -> list[int]:
+    """Partition buckets for a term set, via one tiny local-relation job
+    (Spark's xxhash64 has no public Python twin, so ask the JVM)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int").alias("b"))
+        .collect()
+    )
+    return sorted({r["b"] for r in rows})
+
+
 def bm25_score_col(cfg: IndexConfig, avgdl: float) -> F.Column:
     """BM25 per-posting partial score: idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
 
@@ -63,20 +74,20 @@ def bm25_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    buckets = sorted(
-        {r["b"] for r in spark.createDataFrame([(t,) for t in terms], "term string")
-         .select(F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int").alias("b"))
-         .collect()}
-    )
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = term_buckets(spark, terms, cfg)
 
-    # Partition pruning first (term_bucket is the physical partition column),
-    # then the term equi-join against the broadcast query-term table.
-    pruned = postings.filter(F.col("term_bucket").isin(buckets)).join(
-        F.broadcast(qdf), "term"
+    # Both predicates reach the parquet scan: term_bucket IN (...) prunes
+    # whole partition directories, term IN (...) is a pushed filter that
+    # skips row groups (postings are sorted by term within each bucket file).
+    # An isin filter — unlike a join against a query-term table — survives
+    # into PushedFilters; the only join left is the broadcast idf lookup.
+    pruned = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
     scored = pruned.join(
-        F.broadcast(term_stats.join(F.broadcast(qdf), "term").select("term", "idf")),
+        F.broadcast(
+            term_stats.filter(F.col("term").isin(terms)).select("term", "idf")
+        ),
         "term",
     ).withColumn("partial", bm25_score_col(cfg, avgdl))
 
@@ -115,17 +126,21 @@ def bm25_topk_batch(
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
 
     qdf = spark.createDataFrame(pairs, "query_id int, term string")
-    buckets = sorted(
-        {r["b"] for r in qdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int").alias("b")
-        ).distinct().collect()}
-    )
+    all_terms = sorted({t for _, t in pairs})
+    buckets = term_buckets(spark, all_terms, cfg)
     kdf = spark.createDataFrame(list(kmap.items()), "query_id int, k int")
 
+    # scan pre-filtered by pushed term IN (...) + pruned buckets; the qdf
+    # broadcast join then fans each posting out to the queries that use it
     scored = (
-        postings.filter(F.col("term_bucket").isin(buckets))
+        postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
         .join(F.broadcast(qdf), "term")
-        .join(F.broadcast(term_stats.select("term", "idf")), "term")
+        .join(
+            F.broadcast(term_stats.filter(F.col("term").isin(all_terms)).select("term", "idf")),
+            "term",
+        )
         .withColumn("partial", bm25_score_col(cfg, avgdl))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("partial").alias("score"))
