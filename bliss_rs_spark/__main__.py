@@ -1,0 +1,121 @@
+"""spark-submit entrypoint: build / update / query / bench an index.
+
+Ship mode (north star): the package zips itself (session.package_zip) and
+runs as
+
+    spark-submit --py-files $(python -c 'from bliss_rs_spark.session import package_zip; print(package_zip())') \\
+        -m bliss_rs_spark build --source /data/documents --index /data/index
+
+or locally:
+
+    python -m bliss_rs_spark build  --source /root/testdata/sf0.01/documents.parquet.adapted --index /tmp/idx
+    python -m bliss_rs_spark update --source ...                  --index /tmp/idx
+    python -m bliss_rs_spark query  --index /tmp/idx --text "parseHtml buffer" --k 10 [--exhaustive]
+    python -m bliss_rs_spark synth  --n 10000 --dest /tmp/corpus   (deterministic corpus)
+
+The CLI is the examples/ analogue of the reference
+(/root/reference/examples/library.rs): thin argument plumbing over the
+library lifecycle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bliss_rs_spark")
+    ap.add_argument("--cpus", type=int, default=None, help="local[n] size (env SPARK_GRAFT_CPUS)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build (checkpoint-resumable)")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
+    b.add_argument("--no-checkpoint", action="store_true")
+
+    u = sub.add_parser("update", help="incremental update from a new corpus state")
+    u.add_argument("--source", required=True)
+    u.add_argument("--index", required=True)
+    u.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
+    u.add_argument("--delete-missing", action="store_true")
+
+    q = sub.add_parser("query", help="top-k BM25 query against the CURRENT snapshot")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--exhaustive", action="store_true", help="skip WAND pruning")
+
+    s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
+    s.add_argument("--n", type=int, required=True)
+    s.add_argument("--dest", required=True)
+    s.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    from bliss_rs_spark.config import IndexConfig
+    from bliss_rs_spark.session import get_spark
+
+    spark = get_spark(f"bliss_rs_spark_{args.cmd}", cpus=args.cpus)
+    cfg = IndexConfig()
+    try:
+        if args.cmd == "synth":
+            from bliss_rs_spark.corpus import synth_documents, with_invariants
+
+            with_invariants(
+                synth_documents(spark, args.n, seed=args.seed)
+            ).write.mode("overwrite").parquet(args.dest)
+            print(json.dumps({"written": args.n, "dest": args.dest}))
+            return 0
+
+        from bliss_rs_spark.sources.index_store import IndexStore
+
+        store = IndexStore(args.index)
+        if args.cmd in ("build", "update"):
+            from bliss_rs_spark.plans.lifecycle import build_full, update_index
+            from bliss_rs_spark.sources.documents import load_documents
+
+            docs = load_documents(spark, args.source, args.format)
+            if args.cmd == "build":
+                name = build_full(
+                    spark, docs, store, cfg, checkpoint=not args.no_checkpoint
+                )
+            else:
+                name = update_index(
+                    spark, docs, store, cfg, delete_missing=args.delete_missing
+                )
+            import os
+
+            with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+                metrics = json.load(f)
+            print(json.dumps({"snapshot": name, **metrics}))
+            return 0
+
+        if args.cmd == "query":
+            from bliss_rs_spark.plans.lifecycle import query_index
+
+            rows = query_index(
+                spark, store, args.text, args.k, use_wand=not args.exhaustive
+            ).collect()
+            print(
+                json.dumps(
+                    {
+                        "query": args.text,
+                        "k": args.k,
+                        "results": [
+                            {"rank": i + 1, "doc_id": r["doc_id"], "score": r["score"]}
+                            for i, r in enumerate(rows)
+                        ],
+                    }
+                )
+            )
+            return 0
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
