@@ -771,6 +771,99 @@ FROM events
 """
 
 
+PHRASE = "fast merge batch"
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over positional postings (position-chain
+    intersection; no content scan)."""
+    from bliss_rs_spark.operators.phrase import build_positional_postings, phrase_match
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    return phrase_match(spark, positional, PHRASE, CFG).select(
+        "doc_id", F.col("phrase_tf").cast("int").alias("phrase_tf")
+    )
+
+
+# oracle: occurrences of the phrase in the normalized token stream =
+# (len(stream) - len(replace(stream, phrase, ''))) / len(phrase) on a
+# space-joined token string with sentinel spaces.
+ORACLE_PHRASE_MATCH = f"""
+WITH s AS (
+  SELECT doc_id, ' ' || array_to_string({_TOKS_DD}, ' ') || ' ' AS stream
+  FROM documents
+)
+SELECT doc_id,
+       ((length(stream) - length(replace(stream, ' {PHRASE} ', ''))) / length(' {PHRASE} '))::int AS phrase_tf
+FROM s
+WHERE stream LIKE '% {PHRASE} %'
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session ids from >30-minute gaps
+    (lag + conditional cumsum — the classic event-stream idiom)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = with_flag.withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event"))
+        .select("user_id", F.col("session_no").cast("long").alias("session_no"),
+                "n_events", "first_event")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no::bigint AS session_no,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list so
+    Catalyst skips the extra distinct pass)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+
+
+ORACLE_EVENT_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -804,4 +897,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "bottomk_fingerprint": (q_bottomk_fingerprint, ORACLE_BOTTOMK_FP),
         "greedy_chain": (q_greedy_chain, _oracle_greedy_chain(5)),
         "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),
+        "phrase_match": (q_phrase_match, ORACLE_PHRASE_MATCH),
+        "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+        "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
     }

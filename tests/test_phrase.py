@@ -1,0 +1,78 @@
+"""Positional postings + phrase query unit tests vs a pure-Python oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.corpus import synth_documents, with_invariants
+from bliss_rs_spark.functions.tokenizer import tokenize_text
+from bliss_rs_spark.operators.phrase import build_positional_postings, phrase_match, phrase_topk
+
+CFG = IndexConfig(n_term_buckets=8)
+
+
+def _oracle_phrase_tf(content: str, phrase: str) -> int:
+    toks = tokenize_text(content)
+    p = tokenize_text(phrase)
+    if not p or len(toks) < len(p):
+        return 0
+    return sum(1 for i in range(len(toks) - len(p) + 1) if toks[i : i + len(p)] == p)
+
+
+@pytest.fixture(scope="module")
+def positional(spark):
+    docs = with_invariants(synth_documents(spark, 250, seed=42)).cache()
+    pos = build_positional_postings(docs, CFG).cache()
+    pos.count()
+    rows = docs.select("doc_id", "content").collect()
+    return pos, {r["doc_id"]: r["content"] for r in rows}
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "fast merge",                 # common bigram
+        "block max score",            # camelCase-derived trigram
+        "posting block codec",        # snake_case-derived trigram
+        "return return",              # duplicated term in the phrase
+        "zzz yyy xxx",                # no match
+        "buffer",                     # single-term phrase == term match
+    ],
+)
+def test_phrase_matches_oracle(spark, positional, phrase):
+    pos, contents = positional
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(spark, pos, phrase, CFG).collect()}
+    exp = {}
+    for doc_id, content in contents.items():
+        tf = _oracle_phrase_tf(content, phrase)
+        if tf > 0:
+            exp[doc_id] = tf
+    assert got == exp, phrase
+
+
+def test_phrase_topk_ordering(spark, positional):
+    pos, contents = positional
+    rows = phrase_topk(spark, pos, "fast merge", k=5, cfg=CFG).collect()
+    tfs = [r["phrase_tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    # ties broken by ascending doc_id
+    for a, b in zip(rows, rows[1:]):
+        if a["phrase_tf"] == b["phrase_tf"]:
+            assert a["doc_id"] < b["doc_id"]
+
+
+def test_positional_agrees_with_bag_of_words(spark, positional):
+    """Positional tf must equal the pandas-UDF tokenizer's tf for every
+    (term, doc) — two tokenizer implementations, one spec."""
+    pos, contents = positional
+    from bliss_rs_spark.operators.build_index import tokenize_documents
+
+    docs = with_invariants(synth_documents(spark, 250, seed=42))
+    bag = (
+        tokenize_documents(docs, CFG)
+        .select("doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("t"))
+        .select("doc_id", F.col("t.terms").alias("term"), F.col("t.tfs").alias("tf"))
+    )
+    a = {(r["term"], r["doc_id"]): r["tf"] for r in bag.collect()}
+    b = {(r["term"], r["doc_id"]): r["tf"] for r in pos.select("term", "doc_id", "tf").collect()}
+    assert a == b
