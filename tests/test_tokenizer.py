@@ -57,6 +57,23 @@ def test_duckdb_mirror_matches_python():
         assert list(got) == tokenize_text(text), text
 
 
+def test_duckdb_mirror_property(spark):
+    """Property test: the DuckDB mirror equals the Python spec on arbitrary
+    printable-ASCII strings (the oracle corpus alphabet)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120))
+    def prop(text):
+        got = con.execute(f"select {tokenize_sql_duckdb('?::varchar')}", [text]).fetchone()[0]
+        assert list(got) == tokenize_text(text), repr(text)
+
+    prop()
+
+
 def test_spark_sql_mirror_and_udf(spark):
     """Spark-SQL regex mirror and the pandas UDF both match the spec."""
     rows = [(i, g[1], "rust") for i, g in enumerate(GOLDEN)]
