@@ -36,6 +36,12 @@ class IndexConfig:
     n_term_buckets: int = 32
     block_size: int = 128  # postings per block-max block
 
+    # Ordinal doc-id compression: posting blocks store shard-local ordinals
+    # (index into the shard's sorted doc_id map) instead of raw xxhash64
+    # doc_ids.  Random 64-bit ids delta-encode to ~9 varbyte bytes per gap;
+    # ordinals to ~1-2 — the dominant size term for long posting lists.
+    ordinal_docids: bool = True
+
     # Skew policy: a term whose df exceeds ``hot_term_df_ratio * N`` is salted
     # into ``n_salts`` sub-groups during posting-list construction and merged
     # in a second stage (SURVEY.md §4.1).

@@ -103,6 +103,91 @@ def _pack_rows(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     return blocks
 
 
+DOC_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),  # delta+varbyte, sorted
+    ]
+)
+
+
+def build_doc_map(postings_sharded: DataFrame) -> DataFrame:
+    """(shard, n_docs, doc_ids): each shard's sorted distinct doc_ids,
+    delta+varbyte compressed.  Ordinal i <-> doc_ids[i]; the translation
+    table for ordinal-compressed posting blocks.
+
+    Input must carry a ``shard`` column; the distinct+group is shard-keyed so
+    memory per task is bounded by shard size (which scales with
+    cfg.n_doc_shards, a config knob, not code)."""
+
+    def pack_map(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(ids)],
+                "doc_ids": [encode_doc_ids(ids)],
+            }
+        )
+
+    return (
+        postings_sharded.select("shard", "doc_id")
+        .distinct()
+        .groupBy("shard")
+        .applyInPandas(pack_map, DOC_MAP_SCHEMA)
+    )
+
+
+def ordinalize_packed(packed: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """Rewrite packed blocks to store shard-local ordinals instead of raw
+    doc_ids.  Cogrouped per shard: the UDF sees the shard's packed rows and
+    its doc map together; ordinals come from one vectorized searchsorted per
+    block.  Ordinal order == doc_id order (the map is sorted), so block
+    structure, block-max metadata and all tie-break semantics are unchanged.
+    """
+    from bliss_rs_spark.functions.codec import decode_doc_ids
+
+    def rewrite(key, packed_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(packed_pdf) == 0:
+            return pd.DataFrame(
+                {"shard": [], "term": [], "df_shard": [], "blocks": []}
+            )
+        ids = decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0]))
+        out_blocks = []
+        for blocks in packed_pdf["blocks"]:
+            nb = []
+            for bl in blocks:
+                docs = decode_doc_ids(bytes(bl["docs"]))
+                ords = np.searchsorted(ids, docs).astype(np.int64)
+                nb.append(
+                    {
+                        "first_doc": int(ords[0]),
+                        "last_doc": int(ords[-1]),
+                        "n": bl["n"],
+                        "max_tsc": bl["max_tsc"],
+                        "docs": encode_doc_ids(ords),
+                        "tfs": bl["tfs"],
+                        "dls": bl["dls"],
+                    }
+                )
+            out_blocks.append(nb)
+        return pd.DataFrame(
+            {
+                "shard": packed_pdf["shard"],
+                "term": packed_pdf["term"],
+                "df_shard": packed_pdf["df_shard"],
+                "blocks": out_blocks,
+            }
+        )
+
+    return (
+        packed.groupBy("shard")
+        .cogroup(doc_map.groupBy("shard"))
+        .applyInPandas(rewrite, PACKED_SCHEMA)
+    )
+
+
 def build_packed_index(
     postings: DataFrame,
     term_stats: DataFrame,
@@ -257,3 +342,25 @@ def build_packed_index_grouped(
         )
 
     return runs.groupBy("shard", "term").applyInPandas(merge_runs, PACKED_SCHEMA)
+
+
+def build_packed_index_full(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: IndexConfig | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(packed, doc_map): the production entry point.  With
+    cfg.ordinal_docids the packed blocks are ordinal-compressed and doc_map
+    carries the per-shard translation; otherwise doc_map is None and blocks
+    hold raw doc_ids."""
+    cfg = cfg or IndexConfig()
+    packed = build_packed_index(postings, term_stats, n_docs, avgdl, cfg)
+    if not cfg.ordinal_docids:
+        return packed, None
+    sharded = postings.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
+    )
+    doc_map = build_doc_map(sharded)
+    return ordinalize_packed(packed, doc_map), doc_map

@@ -187,8 +187,16 @@ def wand_topk(
     k: int = 10,
     cfg: IndexConfig | None = None,
     lang: str | None = None,
+    doc_map: DataFrame | None = None,
 ) -> DataFrame:
-    """Block-max WAND top-k: shard-local pruned scoring + exact global merge."""
+    """Block-max WAND top-k: shard-local pruned scoring + exact global merge.
+
+    With ``doc_map`` (ordinal-compressed index, operators/pack.py), blocks
+    hold shard-local ordinals; each shard cogroupes its packed rows with its
+    doc map and translates the local top-k back to doc_ids before the merge.
+    Ordinal order == doc_id order within a shard (the map is sorted), so all
+    tie-break semantics are unchanged.
+    """
     cfg = cfg or IndexConfig()
     terms = query_terms(query_text, lang, cfg)
     if not terms:
@@ -203,19 +211,45 @@ def wand_topk(
     k1, b = cfg.k1, cfg.b
     kk = k
 
-    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(pdf: pd.DataFrame) -> list[tuple[int, float]]:
         rows = []
         for term in sorted(pdf["term"]):
             sub = pdf[pdf["term"] == term]
             blocks = list(sub["blocks"].iloc[0])
             rows.append((blocks, idfs[term]))
-        top = _wand_shard(rows, kk, k1, b, avgdl)
-        return pd.DataFrame(
-            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
-        )
+        return _wand_shard(rows, kk, k1, b, avgdl)
 
     pruned = packed.filter(F.col("term").isin(list(idfs)))
-    per_shard = pruned.groupBy("shard").applyInPandas(
-        shard_fn, "doc_id long, score double"
-    )
+
+    if doc_map is None:
+        def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            top = run_shard(pdf)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        per_shard = pruned.groupBy("shard").applyInPandas(
+            shard_fn, "doc_id long, score double"
+        )
+    else:
+        def shard_fn_mapped(key, pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0 or len(map_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            ids = decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0]))
+            top = run_shard(pdf)
+            return pd.DataFrame(
+                {
+                    "doc_id": [int(ids[d]) for d, _ in top],
+                    "score": [s for _, s in top],
+                }
+            )
+
+        per_shard = (
+            pruned.groupBy("shard")
+            .cogroup(doc_map.groupBy("shard"))
+            .applyInPandas(shard_fn_mapped, "doc_id long, score double")
+        )
+
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

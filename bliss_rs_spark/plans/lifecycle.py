@@ -41,7 +41,7 @@ from bliss_rs_spark.operators.build_index import (
     split_errors,
     tokenize_documents,
 )
-from bliss_rs_spark.operators.pack import build_packed_index
+from bliss_rs_spark.operators.pack import build_packed_index_full
 from bliss_rs_spark.sources.index_store import IndexStore
 
 _EMPTY_ERRORS = "repo string, path string, commit string, doc_id long, error string, ts timestamp"
@@ -117,7 +117,7 @@ def _assemble_and_commit(
     # never a second full postings scan just for metrics
     agg = term_stats.agg(F.sum("df").alias("np")).collect()[0]
     n_postings = int(agg["np"] or 0)
-    packed = build_packed_index(postings, term_stats, n_docs, avgdl, cfg)
+    packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
     manifest = doc_stats.select(
         "doc_id",
@@ -160,6 +160,7 @@ def _assemble_and_commit(
             "packed": packed,
             "manifest": manifest,
             "errors": errors,
+            **({"doc_map": doc_map} if doc_map is not None else {}),
         },
         meta,
         metrics,
@@ -257,7 +258,7 @@ def update_index(
     postings = old_postings.unionByName(build_postings(new_ok, cfg))
     term_stats = build_term_stats(postings, n_docs).cache()
     n_postings = int(term_stats.agg(F.sum("df")).collect()[0][0] or 0)
-    packed = build_packed_index(postings, term_stats, n_docs, avgdl, cfg)
+    packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
     errors = prior_errors.unionByName(
         new_errors
@@ -296,6 +297,7 @@ def update_index(
             "packed": packed,
             "manifest": manifest_out,
             "errors": errors,
+            **({"doc_map": doc_map} if doc_map is not None else {}),
         },
         meta_out,
         metrics,
@@ -317,7 +319,11 @@ def query_index(
         from bliss_rs_spark.operators.wand import wand_topk
 
         packed = store.load(spark, "packed")
-        return wand_topk(spark, packed, term_stats, meta["avgdl"], query_text, k, cfg)
+        doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
+        return wand_topk(
+            spark, packed, term_stats, meta["avgdl"], query_text, k, cfg,
+            doc_map=doc_map,
+        )
     from bliss_rs_spark.operators.bm25 import bm25_topk
 
     postings = store.load(spark, "postings")

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bliss_rs_spark.config import IndexConfig
 
-FRAMES = ("doc_stats", "postings", "term_stats", "packed", "manifest", "errors")
+FRAMES = ("doc_stats", "postings", "term_stats", "packed", "doc_map", "manifest", "errors")
 
 
 class IndexStore:

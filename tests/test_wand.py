@@ -136,6 +136,43 @@ def test_grouped_and_sorted_pack_identical(spark, packed_corpus):
     assert canon(packed) == canon(grouped)
 
 
+def test_ordinal_index_matches_and_shrinks(spark, packed_corpus):
+    """Ordinal-compressed packed index: identical WAND results via the doc
+    map, and strictly fewer posting bytes than raw xxhash64 doc_ids."""
+    from bliss_rs_spark.operators.pack import build_packed_index_full
+
+    cfg, idx, packed_raw, oracle = packed_corpus
+    cfg_ord = IndexConfig(
+        block_size=cfg.block_size, n_doc_shards=cfg.n_doc_shards, ordinal_docids=True
+    )
+    packed_ord, doc_map = build_packed_index_full(
+        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg_ord
+    )
+    packed_ord = packed_ord.cache()
+    doc_map = doc_map.cache()
+
+    for text, k in QUERIES[:5]:
+        got = wand_topk(
+            spark, packed_ord, idx.term_stats, idx.avgdl, text, k, cfg_ord,
+            doc_map=doc_map,
+        ).collect()
+        expected = oracle.topk(text, k)
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], text
+        for r, (_, es) in zip(got, expected):
+            assert abs(r["score"] - es) <= 1e-9 * max(1.0, abs(es))
+
+    def doc_bytes(df):
+        return sum(
+            len(bytes(b["docs"])) for row in df.collect() for b in row["blocks"]
+        )
+
+    raw_b, ord_b = doc_bytes(packed_raw), doc_bytes(packed_ord)
+    map_b = sum(len(bytes(r["doc_ids"])) for r in doc_map.collect())
+    assert ord_b < 0.5 * raw_b, (raw_b, ord_b)
+    # even including the map, the ordinal layout must win
+    assert ord_b + map_b < raw_b, (raw_b, ord_b, map_b)
+
+
 def test_compression_ratio(spark, packed_corpus):
     cfg, idx, packed, _ = packed_corpus
     n_postings = idx.postings.count()
