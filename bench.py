@@ -65,18 +65,25 @@ def main() -> None:
     bm25_topk_batch(spark, idx.postings, idx.term_stats, idx.avgdl, query_set, cfg).collect()
     timings["bm25_batch"] = time.perf_counter() - t0
 
-    from bliss_rs_spark.operators.pack import build_packed_index
-    from bliss_rs_spark.operators.wand import wand_topk
+    from bliss_rs_spark.operators.pack import build_packed_index_full
+    from bliss_rs_spark.operators.wand import wand_topk_batch
 
     t0 = time.perf_counter()
-    packed = build_packed_index(idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg).cache()
+    packed, doc_map = build_packed_index_full(
+        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg
+    )
+    packed = packed.cache()
     packed.count()
+    if doc_map is not None:
+        doc_map = doc_map.cache()
+        doc_map.count()
     timings["pack_build"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _, text, k in query_set:
-        wand_topk(spark, packed, idx.term_stats, idx.avgdl, text, k, cfg).collect()
-    timings["wand_queries"] = time.perf_counter() - t0
+    wand_topk_batch(
+        spark, packed, idx.term_stats, idx.avgdl, query_set, cfg, doc_map=doc_map
+    ).collect()
+    timings["wand_batch"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     minhash_lsh_pairs(docs, n_hashes=8, bands=4, jaccard_threshold=0.05).count()

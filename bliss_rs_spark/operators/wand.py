@@ -253,3 +253,83 @@ def wand_topk(
         )
 
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_batch(
+    spark: SparkSession,
+    packed: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list[tuple[int, str, int]],
+    cfg: IndexConfig | None = None,
+    doc_map: DataFrame | None = None,
+) -> DataFrame:
+    """Score a whole query SET through WAND in ONE Spark job.
+
+    The scan is filtered once by the union of all queries' terms; each shard
+    task runs the WAND kernel once per query over its slice and emits
+    per-(query, shard) top-k; a rank window per query finishes the exact
+    merge.  This is the serving path: per-query cost is kernel time, not job
+    scheduling.  Returns (query_id, rank, doc_id, score).
+    """
+    from pyspark.sql import Window as W
+
+    cfg = cfg or IndexConfig()
+    qterms: dict[int, list[str]] = {}
+    kmap: dict[int, int] = {}
+    for qid, text, k in queries:
+        qterms[qid] = query_terms(text, None, cfg)
+        kmap[qid] = k
+    union_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not union_terms:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    idf_rows = (
+        term_stats.filter(F.col("term").isin(union_terms)).select("term", "idf").collect()
+    )
+    idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
+    k1, b = cfg.k1, cfg.b
+
+    def run_all(pdf: pd.DataFrame, ids) -> pd.DataFrame:
+        by_term = {t: list(sub["blocks"].iloc[0]) for t, sub in pdf.groupby("term")}
+        out = {"query_id": [], "doc_id": [], "score": []}
+        for qid, terms in qterms.items():
+            rows = [
+                (by_term[t], idfs[t])
+                for t in sorted(set(terms))
+                if t in by_term and t in idfs
+            ]
+            if not rows:
+                continue
+            for doc, score in _wand_shard(rows, kmap[qid], k1, b, avgdl):
+                out["query_id"].append(qid)
+                out["doc_id"].append(int(ids[doc]) if ids is not None else doc)
+                out["score"].append(score)
+        return pd.DataFrame(out)
+
+    pruned = packed.filter(F.col("term").isin([t for t in union_terms if t in idfs]))
+    if doc_map is None:
+        per_shard = pruned.groupBy("shard").applyInPandas(
+            lambda pdf: run_all(pdf, None), "query_id int, doc_id long, score double"
+        )
+    else:
+        def fn(key, pdf, map_pdf):
+            if len(pdf) == 0 or len(map_pdf) == 0:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            return run_all(pdf, decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0])))
+
+        per_shard = (
+            pruned.groupBy("shard")
+            .cogroup(doc_map.groupBy("shard"))
+            .applyInPandas(fn, "query_id int, doc_id long, score double")
+        )
+
+    kdf = spark.createDataFrame(list(kmap.items()), "query_id int, k int")
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(kdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

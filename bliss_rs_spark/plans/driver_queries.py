@@ -864,6 +864,113 @@ ORACLE_EVENT_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def q_segment_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-table join: customer ⋈ orders ⋈ lineitem, revenue
+    per (mktsegment, nation), top-2 nations per segment.  customer/nation
+    sides broadcast (small dims); lineitem side aggregates partially before
+    the join result window."""
+    from pyspark.sql import Window as W
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_r"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("revenue_r"), F.asc("n_name"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("c_mktsegment", F.col("rk").cast("int").alias("rk"), "n_name", "revenue_r", "n_items")
+    )
+
+
+ORACLE_SEGMENT_REVENUE = """
+WITH rev AS (
+  SELECT c.c_mktsegment, n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue_r,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_mktsegment, n.n_name
+)
+SELECT c_mktsegment, rk::int AS rk, n_name, revenue_r, n_items FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY revenue_r DESC, n_name ASC) AS rk
+  FROM rev
+) WHERE rk <= 2
+"""
+
+
+def q_phrase_then_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: exact-phrase filter -> BM25 rank of the phrase terms over
+    the matching docs (the filter+score pipeline of the reference query path,
+    SURVEY.md §3.3)."""
+    from bliss_rs_spark.operators.bm25 import bm25_topk
+    from bliss_rs_spark.operators.build_index import build_index_frames
+    from bliss_rs_spark.operators.phrase import build_positional_postings, phrase_match
+
+    docs = _docs_adapted(spark, sf_dir)
+    idx = build_index_frames(docs, CFG)
+    positional = build_positional_postings(docs, CFG)
+    matches = phrase_match(spark, positional, PHRASE, CFG).select("doc_id", "phrase_tf")
+    ranked = bm25_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl, PHRASE, 10_000_000, CFG
+    )
+    return (
+        ranked.join(matches, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "phrase_tf", _r6(F.col("score")).alias("score_r"))
+    )
+
+
+_PHRASE_TERMS_SQL = "(VALUES " + ", ".join(
+    f"('{t}')" for t in sorted(set(PHRASE.split()))
+) + ")"
+
+ORACLE_PHRASE_THEN_RANK = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_PHRASE_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+),
+ph AS (
+  SELECT doc_id,
+         ((length(stream) - length(replace(stream, ' {PHRASE} ', ''))) / length(' {PHRASE} '))::int AS phrase_tf
+  FROM (SELECT doc_id, ' ' || array_to_string({_TOKS_DD}, ' ') || ' ' AS stream FROM documents)
+  WHERE stream LIKE '% {PHRASE} %'
+)
+SELECT s.doc_id, ph.phrase_tf, round(s.score, 6) AS score_r
+FROM scored s JOIN ph ON ph.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -900,4 +1007,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "phrase_match": (q_phrase_match, ORACLE_PHRASE_MATCH),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
+        "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),
+        "phrase_then_rank": (q_phrase_then_rank, ORACLE_PHRASE_THEN_RANK),
     }

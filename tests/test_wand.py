@@ -56,6 +56,24 @@ def test_wand_matches_oracle_and_exhaustive(spark, packed_corpus, text, k):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exh]
 
 
+def test_wand_batch_matches_oracle(spark, packed_corpus):
+    """Batched WAND (one job, all queries) must equal per-query results."""
+    from bliss_rs_spark.operators.wand import wand_topk_batch
+
+    cfg, idx, packed, oracle = packed_corpus
+    queries = [(i + 1, text, k) for i, (text, k) in enumerate(QUERIES)]
+    res = wand_topk_batch(spark, packed, idx.term_stats, idx.avgdl, queries, cfg).collect()
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, text, k in queries:
+        expected = oracle.topk(text, k)
+        got = sorted(by_qid.get(qid, []))
+        assert [g[1] for g in got] == [d for d, _ in expected], text
+        for (_, _, gs), (_, es) in zip(got, expected):
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es))
+
+
 def test_packed_roundtrip_postings(spark, packed_corpus):
     """Decompressing every block must reproduce the flat postings exactly."""
     cfg, idx, packed, oracle = packed_corpus
