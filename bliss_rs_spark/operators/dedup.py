@@ -173,6 +173,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into 4 x 16-bit bands;
+    two fingerprints within hamming distance 3 must agree on at least one
+    band, so candidates come from 4 band-bucket self-joins (union, distinct)
+    and are then verified with an exact popcount — never an all-pairs scan.
+    All JVM bit arithmetic, so the DuckDB oracle replays it exactly.
+    """
+    sh = simhash64(docs, content_col)
+    bands = None
+    for i in range(4):
+        b = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash >> {16 * i}) & 65535").alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def bottomk_fingerprint(
     docs: DataFrame, k: int = 8, n: int = 5, content_col: str = "content"
 ) -> DataFrame:

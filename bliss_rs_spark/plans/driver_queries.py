@@ -357,6 +357,42 @@ FROM bits GROUP BY 1
 
 # --- similarity search ---------------------------------------------------------
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs via 16-bit band pigeonhole join."""
+    from bliss_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs_adapted(spark, sf_dir), max_hamming=3)
+
+
+ORACLE_SIMHASH_NEARDUP = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {md5_int64_duckdb("term")} AS h FROM tf),
+bits AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, unnest(generate_series(0, 63)) AS b(bit)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0::bigint END)::bigint AS simhash
+  FROM bits GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS bkey
+  FROM sims, unnest(generate_series(0, 3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::int AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (exact ANN baseline)."""
     from bliss_rs_spark.operators.similarity import cosine_topk_by_id
@@ -987,6 +1023,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD),
         "simhash": (q_simhash, ORACLE_SIMHASH),
+        "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH_NEARDUP),
         "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, None),
         "embedding_neardup": (q_embedding_neardup, None),

@@ -128,6 +128,29 @@ class IndexStore:
         os.replace(tmp, os.path.join(self.path, "CURRENT"))
         return name
 
+    # --- maintenance ------------------------------------------------------------
+
+    def snapshots(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def gc(self, keep_last: int = 2) -> list[str]:
+        """Expire old snapshots (Iceberg expire_snapshots analogue), never
+        touching CURRENT or anything newer than the retention window."""
+        cur = self.current_snapshot()
+        snaps = self.snapshots()
+        keep = set(snaps[-keep_last:])
+        if cur:
+            keep.add(cur)
+        removed = []
+        for s in snaps:
+            if s not in keep:
+                shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+                removed.append(s)
+        return removed
+
     # --- tokenize checkpoint (resumability) --------------------------------------
 
     @property

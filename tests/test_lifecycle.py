@@ -132,6 +132,20 @@ def test_failed_rows_ledger(spark, tmp_path):
     assert failed == n_bad
 
 
+def test_snapshot_gc(spark, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 60)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    update_index(spark, _docs(spark, 80), store, CFG)
+    update_index(spark, _docs(spark, 100), store, CFG)
+    assert store.snapshots() == ["v00001", "v00002", "v00003"]
+    removed = store.gc(keep_last=2)
+    assert removed == ["v00001"]
+    assert store.current_snapshot() == "v00003"
+    # store still answers queries after GC
+    assert len(query_index(spark, store, "return", 3, use_wand=True).collect()) == 3
+
+
 def test_resumable_build_identical(spark, tmp_path):
     """Kill-and-restart: a build that checkpointed only part of the corpus
     resumes and produces a snapshot identical to a from-scratch build
