@@ -23,15 +23,23 @@ if _REPO not in sys.path:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship on /root/testdata/sf0.001: the FULL pipeline — tokenize ->
+    postings/stats -> ordinal-compressed doc-sharded packed index ->
+    block-max WAND batched top-k over the reference-style query set."""
+    from bliss_rs_spark.config import IndexConfig
     from bliss_rs_spark.corpus import documents_from_testdata
-    from bliss_rs_spark.operators.bm25 import bm25_topk_batch
     from bliss_rs_spark.operators.build_index import build_index_frames
+    from bliss_rs_spark.operators.pack import build_packed_index_full
+    from bliss_rs_spark.operators.wand import wand_topk_batch
     from bliss_rs_spark.session import ship_package
 
     ship_package(spark)
+    cfg = IndexConfig()
     docs = documents_from_testdata(spark, "/root/testdata/sf0.001")
-    idx = build_index_frames(docs)
+    idx = build_index_frames(docs, cfg)
+    packed, doc_map = build_packed_index_full(
+        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg
+    )
     query_set = [
         (1, "spark hash join", 10),
         (2, "window merge sort", 10),
@@ -39,7 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
         (4, "the a big small", 10),
         (5, "stream filter", 100),
     ]
-    return bm25_topk_batch(spark, idx.postings, idx.term_stats, idx.avgdl, query_set)
+    return wand_topk_batch(
+        spark, packed, idx.term_stats, idx.avgdl, query_set, cfg, doc_map=doc_map
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

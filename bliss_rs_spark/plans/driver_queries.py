@@ -844,13 +844,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))  # exact integer µs
     gap = epoch - F.lag(epoch).over(w)
     with_flag = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("new_session"),
     )
     sess = with_flag.withColumn(
         "session_no", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -868,7 +868,7 @@ ORACLE_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1007,6 +1007,84 @@ ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event joined to the user's latest prior-or-equal
+    purchase (pandas merge_asof per cogroup; DuckDB native ASOF JOIN oracle)."""
+    from bliss_rs_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id",
+                       right_value_cols=["purchase_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        _r6(F.coalesce(F.col("purchase_value"), F.lit(-1.0))).alias("prior_purchase_r"),
+        F.coalesce(F.unix_micros(F.col("_right_ts").cast("timestamp")), F.lit(-1)).alias("prior_epoch"),
+    )
+
+
+ORACLE_ASOF_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       round(coalesce(p.purchase_value, -1.0), 6) AS prior_purchase_r,
+       coalesce(epoch_us(p.ts), -1)::bigint AS prior_epoch
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (returnflag, linestatus) incl. subtotals and the
+    grand total (grouping-sets coverage)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_r6(F.sum("l_quantity")).alias("qty_r"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "qty_r",
+            "cnt",
+        )
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       round(sum(l_quantity), 6) AS qty_r,
+       count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_intersect_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: sources that publish in both 'en' and 'de'."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en = docs.filter(F.col("lang") == "en").select(F.col("source").alias("repo"))
+    de = docs.filter(F.col("lang") == "de").select(F.col("source").alias("repo"))
+    return en.intersect(de)
+
+
+ORACLE_INTERSECT_LANGS = """
+SELECT source AS repo FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT source AS repo FROM documents WHERE lang = 'de'
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -1046,4 +1124,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),
         "phrase_then_rank": (q_phrase_then_rank, ORACLE_PHRASE_THEN_RANK),
+        "asof_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
+        "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
+        "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
     }

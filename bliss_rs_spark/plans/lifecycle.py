@@ -44,8 +44,6 @@ from bliss_rs_spark.operators.build_index import (
 from bliss_rs_spark.operators.pack import build_packed_index_full
 from bliss_rs_spark.sources.index_store import IndexStore
 
-_EMPTY_ERRORS = "repo string, path string, commit string, doc_id long, error string, ts timestamp"
-_MANIFEST_COLS = ["doc_id", "content_sha256", "analyzer_version", "status"]
 
 
 def _skew_ratio(df: DataFrame, key: str, weight: str | None = None) -> float:
