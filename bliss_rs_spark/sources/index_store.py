@@ -173,3 +173,19 @@ class IndexStore:
 
     def clear_checkpoint(self) -> None:
         shutil.rmtree(os.path.join(self.path, "_checkpoints"), ignore_errors=True)
+
+    def compact_checkpoint(self, spark: SparkSession, target_partitions: int = 32) -> None:
+        """Rewrite the append-accumulated checkpoint into ``target_partitions``
+        files (small-file compaction, the Iceberg rewrite_data_files
+        analogue).  Atomic: written to a sibling dir, then swapped."""
+        ckpt = self.load_checkpoint(spark)
+        if ckpt is None:
+            return
+        tmp = self.checkpoint_dir + "_compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ckpt.repartition(target_partitions).write.parquet(tmp)
+        old = self.checkpoint_dir + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.checkpoint_dir, old)
+        os.replace(tmp, self.checkpoint_dir)
+        shutil.rmtree(old, ignore_errors=True)

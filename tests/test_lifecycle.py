@@ -132,6 +132,30 @@ def test_failed_rows_ledger(spark, tmp_path):
     assert failed == n_bad
 
 
+def test_checkpoint_compaction(spark, tmp_path):
+    import os
+
+    store = IndexStore(str(tmp_path / "idx"))
+    # three appends -> many small files
+    for n in (40, 80, 120):
+        build_full(spark, _docs(spark, n), store, CFG, checkpoint=True)
+    before_rows = store.load_checkpoint(spark).count()
+    n_files_before = sum(
+        1 for f in os.listdir(store.checkpoint_dir) if f.endswith(".parquet")
+    )
+    store.compact_checkpoint(spark, target_partitions=2)
+    after = store.load_checkpoint(spark)
+    assert after.count() == before_rows
+    n_files_after = sum(
+        1 for f in os.listdir(store.checkpoint_dir) if f.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
+    # a subsequent incremental build still resumes correctly from it
+    build_full(spark, _docs(spark, 150), store, CFG, checkpoint=True)
+    assert store.load_checkpoint(spark).count() == 150
+    assert store.meta()["n_docs"] == 150
+
+
 def test_snapshot_gc(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     docs = _docs(spark, 60)
