@@ -64,6 +64,53 @@ def stream_documents_to_index(
     return writer.start()
 
 
+def running_user_stats(
+    spark: SparkSession,
+    events_dir: str,
+):
+    """Custom stateful streaming operator: per-user running totals maintained
+    in applyInPandasWithState across micro-batches (ST1 parity: the
+    reference's descriptors are streaming accumulators with do_/get_value
+    pairs, /root/reference/src/song/mod.rs:381-387 — here the accumulator
+    state lives in Spark's state store and survives batches).
+
+    Emits one (user_id, n_events, total_value, batches_seen) row per user
+    per batch in which that user appeared.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(events_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total, batches = state.get if state.exists else (0, 0.0, 0)
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            total += float(pdf["value"].sum())
+        n += seen
+        batches += 1
+        state.update((n, total, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "batches_seen": [batches],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, batches_seen int",
+        stateStructType="n long, total double, batches int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ingest_rate_monitor(
     spark: SparkSession,
     events_dir: str,

@@ -44,6 +44,49 @@ def test_stream_documents_to_index(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_running_user_stats_stateful(spark, tmp_path):
+    """Custom stateful operator: state accumulates across two micro-batches."""
+    from bliss_rs_spark.streaming.stream_index import running_user_stats
+
+    in_dir = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).cache()
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(in_dir + "/b1")
+
+    agg = running_user_stats(spark, in_dir + "/*")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("event_id") % 2 == 1).write.parquet(in_dir + "/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last update per user must equal the full-batch totals
+    rows = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY batches_seen DESC) rn
+             FROM user_stats_t) WHERE rn = 1"""
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    exp = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == exp
+    # at least one user genuinely accumulated across two batches
+    assert any(r["batches_seen"] == 2 for r in spark.sql("SELECT * FROM user_stats_t").collect())
+
+
 def test_ingest_rate_monitor(spark, tmp_path):
     agg = ingest_rate_monitor(spark, "/root/testdata/sf0.001", window="1 hour", slide="1 hour")
     q = (
