@@ -122,8 +122,41 @@ class _Cursor:
         return self.idf * float(self.blocks[self.bi]["max_tsc"])
 
 
+def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: float):
+    """Vectorized single-term top-k: the doc-at-a-time loop degenerates to a
+    full scan for one term, so instead score whole blocks with NumPy and
+    skip any block whose upper bound is STRICTLY below the running k-th
+    score (strictness preserves (score DESC, doc_id ASC) tie-breaks —
+    a block tying theta may still win on doc_id)."""
+    from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    theta = -math.inf
+    for bl in blocks:
+        if len(best_scores) >= k and idf * float(bl["max_tsc"]) < theta:
+            continue
+        docs = decode_doc_ids(bl["docs"])
+        tf = varbyte_decode(bl["tfs"]).astype(np.float64)
+        dl = varbyte_decode(bl["dls"]).astype(np.float64)
+        sc = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
+        best_docs = np.concatenate([best_docs, docs])
+        best_scores = np.concatenate([best_scores, sc])
+        if len(best_scores) > 4 * k:
+            order = np.lexsort((best_docs, -best_scores))[:k]
+            best_docs, best_scores = best_docs[order], best_scores[order]
+        if len(best_scores) >= k:
+            theta = float(best_scores.min()) if len(best_scores) <= k else float(
+                np.partition(best_scores, -k)[-k]
+            )
+    order = np.lexsort((best_docs, -best_scores))[:k]
+    return [(int(best_docs[i]), float(best_scores[i])) for i in order]
+
+
 def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float):
     """rows: [(blocks, idf)] per query term present in this shard."""
+    if len(rows) == 1:
+        return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl)
     _Cursor.set_params(k1, b, avgdl)
     cursors = [_Cursor(blocks, idf, k1, b, avgdl) for blocks, idf in rows]
     heap: list[tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
