@@ -63,26 +63,53 @@ def with_shingles(docs: DataFrame, content_col: str = "content", n: int = 3) -> 
     return docs.withColumn("shingles", F.expr(shingles_spark(content_col, n)))
 
 
+def _minhash_exprs_spark(n_hashes: int) -> list[str]:
+    """n_hashes 32-bit hash expressions per shingle, sliced from ceil(n/4)
+    salted md5 digests (md5 = 128 bits = 4x32; salt i prefixes 'i:').
+    2 digests feed 8 permutations — 4x fewer hash computations than
+    hash-per-permutation, still exactly mirrorable in DuckDB."""
+    out = []
+    for p in range(n_hashes):
+        digest, slot = divmod(p, 4)
+        src = "shingle" if digest == 0 else f"concat('{digest}:', shingle)"
+        out.append(
+            f"cast(conv(substr(md5({src}), {1 + 8 * slot}, 8), 16, 10) as bigint)"
+        )
+    return out
+
+
+def _minhash_exprs_duckdb(n_hashes: int) -> list[str]:
+    out = []
+    for p in range(n_hashes):
+        digest, slot = divmod(p, 4)
+        src = "shingle" if digest == 0 else f"'{digest}:' || shingle"
+        out.append(f"('0x' || substr(md5({src}), {1 + 8 * slot}, 8))::bigint")
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, content_col: str = "content", n: int = 3
 ) -> DataFrame:
     """(doc_id, perm, minhash): MinHash signature rows.
 
-    h_i(shingle) = md5_int64(i || ':' || shingle); signature_i = min over
-    shingles.  Rehash-per-permutation (instead of the (a*x+b) mod p family)
-    keeps the function SQL-mirrorable with no 64-bit modmul overflow issues.
-    Explode + groupBy(min) — map-side combine absorbs the per-doc fan-out.
+    One shingle explode, ONE aggregation computing all n_hashes mins as
+    separate columns (map-side combine absorbs the fan-in), then an unpivot
+    back to long form.  Hash values are 32-bit slices of salted md5 digests
+    (_minhash_exprs_spark) — SQL-mirrorable, no 64-bit modmul.
     Docs with fewer than n tokens produce no signature (no shingles).
     """
     sh = with_shingles(docs, content_col, n).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    perms = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("perm"))
-    hashed = sh.crossJoin(F.broadcast(perms)).withColumn(
-        "h",
-        F.expr(md5_int64_spark("concat(cast(perm as string), ':', shingle)")),
-    )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.expr(e)).alias(f"m{p}")
+        for p, e in enumerate(_minhash_exprs_spark(n_hashes))
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{p}, m{p}" for p in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) as (perm, minhash)"
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
 
 
 def minhash_lsh_pairs(

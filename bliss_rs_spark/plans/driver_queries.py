@@ -266,15 +266,23 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH_SIG = f"""
+def _minhash_sig_sql() -> str:
+    from bliss_rs_spark.operators.dedup import _minhash_exprs_duckdb
+
+    mins = ", ".join(
+        f"min({e}) AS m{p}" for p, e in enumerate(_minhash_exprs_duckdb(8))
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {p}::int AS perm, m{p} AS minhash FROM wide" for p in range(8)
+    )
+    return f"""
 WITH {_SHINGLES_CTE},
-h AS (
-  SELECT doc_id, perm,
-         {md5_int64_duckdb("perm::varchar || ':' || shingle")} AS h
-  FROM sh, unnest(generate_series(0, 7)) AS p(perm)
-)
-SELECT doc_id, perm::int AS perm, min(h) AS minhash FROM h GROUP BY 1, 2
+wide AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+{unpivot}
 """
+
+
+ORACLE_MINHASH_SIG = _minhash_sig_sql()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,14 +294,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard_r"))
 
 
-ORACLE_MINHASH_LSH = f"""
+def _minhash_lsh_prefix() -> str:
+    from bliss_rs_spark.operators.dedup import _minhash_exprs_duckdb
+
+    mins = ", ".join(
+        f"min({e}) AS m{p}" for p, e in enumerate(_minhash_exprs_duckdb(8))
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {p} AS perm, m{p} AS minhash FROM wide" for p in range(8)
+    )
+    return f"""
 WITH {_SHINGLES_CTE},
-h AS (
-  SELECT doc_id, perm,
-         {md5_int64_duckdb("perm::varchar || ':' || shingle")} AS h
-  FROM sh, unnest(generate_series(0, 7)) AS p(perm)
-),
-sig AS (SELECT doc_id, perm, min(h) AS minhash FROM h GROUP BY 1, 2),
+wide AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sig AS ({unpivot}),
+"""
+
+
+ORACLE_MINHASH_LSH = _minhash_lsh_prefix() + """
 bands AS (
   SELECT doc_id, (perm // 2) AS band,
          string_agg(minhash::varchar, '_' ORDER BY minhash) AS bkey
