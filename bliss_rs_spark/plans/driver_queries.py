@@ -1110,6 +1110,47 @@ SELECT source AS repo FROM documents WHERE lang = 'de'
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (§2.8 / the reference's extra_info json column,
+    /root/reference/src/library.rs:517): parse events.props with an explicit
+    schema and aggregate the extracted field."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::int)::bigint AS sum_k,
+       min(json_extract(props, '$.k')::int)::int AS min_k,
+       max(json_extract(props, '$.k')::int)::int AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_except_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (U1 difference): sources publishing in 'en' but never
+    'zh'."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en = docs.filter(F.col("lang") == "en").select(F.col("source").alias("repo"))
+    zh = docs.filter(F.col("lang") == "zh").select(F.col("source").alias("repo"))
+    return en.subtract(zh)  # EXCEPT DISTINCT semantics (bag exceptAll would differ)
+
+
+ORACLE_EXCEPT_LANGS = """
+SELECT DISTINCT source AS repo FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT source AS repo FROM documents WHERE lang = 'zh'
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -1152,4 +1193,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "asof_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
         "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
         "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
+        "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS),
+        "except_langs": (q_except_langs, ORACLE_EXCEPT_LANGS),
     }
