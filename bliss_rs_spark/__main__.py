@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
     b.add_argument("--no-checkpoint", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="also store positional postings (enables phrase queries)")
 
     u = sub.add_parser("update", help="incremental update from a new corpus state")
     u.add_argument("--source", required=True)
@@ -47,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--text", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--exhaustive", action="store_true", help="skip WAND pruning")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase query (index must be built with --positions)")
 
     s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
     s.add_argument("--n", type=int, required=True)
@@ -79,12 +83,18 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = load_documents(spark, args.source, args.format)
             if args.cmd == "build":
+                if args.positions:
+                    from dataclasses import replace
+
+                    cfg = replace(cfg, store_positions=True)
                 name = build_full(
                     spark, docs, store, cfg, checkpoint=not args.no_checkpoint
                 )
             else:
+                # inherit the index's persisted config (positions, ordinals,
+                # analyzer version) rather than the CLI default
                 name = update_index(
-                    spark, docs, store, cfg, delete_missing=args.delete_missing
+                    spark, docs, store, None, delete_missing=args.delete_missing
                 )
             import os
 
@@ -94,23 +104,23 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "query":
-            from bliss_rs_spark.plans.lifecycle import query_index
+            from bliss_rs_spark.plans.lifecycle import phrase_query, query_index
 
-            rows = query_index(
-                spark, store, args.text, args.k, use_wand=not args.exhaustive
-            ).collect()
-            print(
-                json.dumps(
-                    {
-                        "query": args.text,
-                        "k": args.k,
-                        "results": [
-                            {"rank": i + 1, "doc_id": r["doc_id"], "score": r["score"]}
-                            for i, r in enumerate(rows)
-                        ],
-                    }
-                )
-            )
+            if args.phrase:
+                rows = phrase_query(spark, store, args.text, args.k).collect()
+                results = [
+                    {"rank": i + 1, "doc_id": r["doc_id"], "phrase_tf": r["phrase_tf"]}
+                    for i, r in enumerate(rows)
+                ]
+            else:
+                rows = query_index(
+                    spark, store, args.text, args.k, use_wand=not args.exhaustive
+                ).collect()
+                results = [
+                    {"rank": i + 1, "doc_id": r["doc_id"], "score": r["score"]}
+                    for i, r in enumerate(rows)
+                ]
+            print(json.dumps({"query": args.text, "k": args.k, "results": results}))
             return 0
         return 2
     finally:

@@ -48,6 +48,11 @@ class IndexConfig:
     hot_term_df_ratio: float = 0.02
     n_salts: int = 8
 
+    # Persist positional postings (term, doc_id, positions) alongside the
+    # bag-of-words index so the store can answer exact phrase queries.
+    # Off by default: positions roughly double index size.
+    store_positions: bool = False
+
     # Tokenizer options. ``lang_tagging`` prefixes each term with "<lang>:"
     # (the graft spec's lang-tagged terms); the plain variant is the default
     # because it is mirrorable in ANSI SQL for the DuckDB oracle.

@@ -117,6 +117,12 @@ def _assemble_and_commit(
     n_postings = int(agg["np"] or 0)
     packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
+    positional = None
+    if cfg.store_positions:
+        from bliss_rs_spark.operators.phrase import build_positional_postings
+
+        positional = build_positional_postings(ok, cfg)
+
     manifest = doc_stats.select(
         "doc_id",
         "content_sha256",
@@ -159,6 +165,7 @@ def _assemble_and_commit(
             "manifest": manifest,
             "errors": errors,
             **({"doc_map": doc_map} if doc_map is not None else {}),
+            **({"positional": positional} if positional is not None else {}),
         },
         meta,
         metrics,
@@ -194,11 +201,17 @@ def update_index(
     delete_missing: bool = False,
 ) -> str:
     """Incremental update: tokenize only new/changed docs, carry everything
-    else forward from the current snapshot, commit a new snapshot."""
-    cfg = cfg or IndexConfig()
+    else forward from the current snapshot, commit a new snapshot.
+
+    With cfg=None the update inherits the INDEX's persisted config — layout
+    options like store_positions/ordinal_docids are properties of the store,
+    and silently changing them mid-stream would drop frames (the
+    FeaturesVersion don't-mix principle applied to physical layout).
+    """
     t0 = time.perf_counter()
     if store.current_snapshot() is None:
-        return build_full(spark, incoming, store, cfg)
+        return build_full(spark, incoming, store, cfg or IndexConfig())
+    cfg = cfg or store.config()
 
     meta = store.meta()
     if meta["analyzer_version"] != cfg.analyzer_version:
@@ -258,6 +271,15 @@ def update_index(
     n_postings = int(term_stats.agg(F.sum("df")).collect()[0][0] or 0)
     packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
+    positional = None
+    if cfg.store_positions:
+        from bliss_rs_spark.operators.phrase import build_positional_postings
+
+        old_positional = store.load(spark, "positional").join(
+            keep_ids, "doc_id", "left_semi"
+        )
+        positional = old_positional.unionByName(build_positional_postings(new_ok, cfg))
+
     errors = prior_errors.unionByName(
         new_errors
     )
@@ -286,7 +308,12 @@ def update_index(
         "postings_per_sec": round(n_postings / elapsed, 2),
         "skew_ratio_term_bucket": round(_skew_ratio(term_stats, "term_bucket", weight="df"), 3),
     }
-    meta_out = dict(meta, n_docs=n_docs, avgdl=avgdl)
+    meta_out = dict(
+        meta,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        config=__import__("json").loads(cfg.to_json()),  # the cfg actually used
+    )
     return store.commit_snapshot(
         {
             "doc_stats": doc_stats,
@@ -296,6 +323,7 @@ def update_index(
             "manifest": manifest_out,
             "errors": errors,
             **({"doc_map": doc_map} if doc_map is not None else {}),
+            **({"positional": positional} if positional is not None else {}),
         },
         meta_out,
         metrics,
@@ -326,3 +354,23 @@ def query_index(
 
     postings = store.load(spark, "postings")
     return bm25_topk(spark, postings, term_stats, meta["avgdl"], query_text, k, cfg)
+
+
+def phrase_query(
+    spark: SparkSession,
+    store: IndexStore,
+    phrase: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase top-k from the CURRENT snapshot's positional postings
+    (requires the index to have been built with cfg.store_positions)."""
+    cfg = store.config()
+    if not cfg.store_positions:
+        raise ValueError(
+            "index was built without positions; rebuild with "
+            "IndexConfig(store_positions=True) to run phrase queries"
+        )
+    from bliss_rs_spark.operators.phrase import phrase_topk
+
+    positional = store.load(spark, "positional")
+    return phrase_topk(spark, positional, phrase, k, cfg)

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bliss_rs_spark.config import IndexConfig
 
-FRAMES = ("doc_stats", "postings", "term_stats", "packed", "doc_map", "manifest", "errors")
+FRAMES = ("doc_stats", "postings", "term_stats", "packed", "doc_map",
+          "positional", "manifest", "errors")
 
 
 class IndexStore:
@@ -105,6 +106,10 @@ class IndexStore:
                     df = df.coalesce(1) if fname == "errors" else df
                 writer = df.write.mode("overwrite")
                 if fname == "postings" and "term_bucket" in df.columns:
+                    writer = df.sortWithinPartitions("term", "doc_id").write.mode(
+                        "overwrite"
+                    ).partitionBy("term_bucket")
+                elif fname == "positional" and "term_bucket" in df.columns:
                     writer = df.sortWithinPartitions("term", "doc_id").write.mode(
                         "overwrite"
                     ).partitionBy("term_bucket")

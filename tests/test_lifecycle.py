@@ -132,6 +132,39 @@ def test_failed_rows_ledger(spark, tmp_path):
     assert failed == n_bad
 
 
+def test_positional_store_and_update_inheritance(spark, tmp_path):
+    """An index built with store_positions must keep answering phrase queries
+    after an update that passes cfg=None (layout inherited from the store —
+    regression: the default cfg used to silently drop the positional frame)."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.plans.lifecycle import phrase_query
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 120), store, cfg, checkpoint=False)
+    before = {(r["doc_id"], r["phrase_tf"])
+              for r in phrase_query(spark, store, "block max score", 10).collect()}
+    assert before, "phrase query found nothing on the positional index"
+
+    update_index(spark, _docs(spark, 150), store, None)  # cfg inherited
+    assert store.config().store_positions
+    after = {(r["doc_id"], r["phrase_tf"])
+             for r in phrase_query(spark, store, "block max score", 10).collect()}
+    # incremental result == from-scratch positional build on the same corpus
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, _docs(spark, 150), fresh, cfg, checkpoint=False)
+    scratch = {(r["doc_id"], r["phrase_tf"])
+               for r in phrase_query(spark, fresh, "block max score", 10).collect()}
+    assert after == scratch
+
+    # an index built WITHOUT positions refuses phrase queries with guidance
+    store2 = IndexStore(str(tmp_path / "idx2"))
+    build_full(spark, _docs(spark, 60), store2, CFG, checkpoint=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        phrase_query(spark, store2, "block max", 5)
+
+
 def test_checkpoint_compaction(spark, tmp_path):
     import os
 
