@@ -16,7 +16,7 @@ DuckDB (`('0x'||substr(md5(x),1,15))::bigint`).  All hash-based operators
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bliss_rs_spark.functions.tokenizer import tokenize_sql_duckdb, tokenize_sql_spark

@@ -10,7 +10,6 @@ the canonical shape feeds the same pipeline.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 REQUIRED = ["repo", "path", "commit", "lang", "content"]
 

@@ -1,8 +1,6 @@
 """Structured Streaming surfaces: streamed document batches land in the index
 store as atomic snapshots; windowed event-rate aggregation with watermark."""
 
-import time
-
 from pyspark.sql import functions as F
 
 from bliss_rs_spark.config import IndexConfig

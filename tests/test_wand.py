@@ -3,7 +3,6 @@ exhaustive Spark scorer and the pure-Python oracle — the reference's
 "two decoders, one contract" invariant (/root/reference/src/song/mod.rs:
 636-689) applied to two query execution strategies."""
 
-import numpy as np
 import pytest
 
 from bliss_rs_spark.config import IndexConfig
