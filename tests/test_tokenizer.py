@@ -74,6 +74,26 @@ def test_duckdb_mirror_property(spark):
     prop()
 
 
+def test_spark_sql_mirror_property(spark):
+    """Property-style: the Spark-SQL regex mirror equals the Python spec on a
+    deterministic batch of pseudo-random printable-ASCII strings (one job)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = [chr(c) for c in range(32, 127)]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, content string")
+    got = {
+        r["id"]: list(r["toks"])
+        for r in df.selectExpr("id", tokenize_sql_spark("content") + " as toks").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize_text(t), repr(t)
+
+
 def test_spark_sql_mirror_and_udf(spark):
     """Spark-SQL regex mirror and the pandas UDF both match the spec."""
     rows = [(i, g[1], "rust") for i, g in enumerate(GOLDEN)]

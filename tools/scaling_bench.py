@@ -235,6 +235,11 @@ stages scale with the 4N disks/buses the extra executors bring; the
 CPU-bound measurement in §1 is the signal the sandbox can produce honestly.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # preserve manually-curated appendix sections (1M-doc stress etc.)
+    extra_path = os.path.join(REPO, "BENCH", "EXTRA.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            md = md + "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
