@@ -238,6 +238,22 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-one semantics: the surviving doc set after dropping
+    all but the min-doc_id representative of each content_sha256 group."""
+    from bliss_rs_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs_adapted(spark, sf_dir)).select("doc_id", "content_sha256")
+
+
+ORACLE_DEDUP_KEEP_ONE = """
+WITH hashed AS (SELECT doc_id, sha256(text) AS content_sha256 FROM documents),
+keep AS (SELECT content_sha256, min(doc_id) AS doc_id FROM hashed GROUP BY 1)
+SELECT h.doc_id, h.content_sha256
+FROM hashed h JOIN keep k ON k.content_sha256 = h.content_sha256 AND k.doc_id = h.doc_id
+"""
+
+
 def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-token-stream fingerprint groups (whitespace/case-insensitive dedup)."""
     from bliss_rs_spark.operators.dedup import with_fingerprint
@@ -1162,6 +1178,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "hot_terms": (q_hot_terms, ORACLE_HOT_TERMS),
         "incremental_delta": (q_incremental_delta, ORACLE_INCREMENTAL_DELTA),
         "exact_dup_groups": (q_exact_dup_groups, ORACLE_EXACT_DUP),
+        "dedup_keep_one": (q_dedup_keep_one, ORACLE_DEDUP_KEEP_ONE),
         "fingerprint_groups": (q_fingerprint_groups, ORACLE_FINGERPRINT),
         "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIG),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
