@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase query (index must be built with --positions)")
 
+    st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
+    st.add_argument("--index", required=True)
+
     s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
     s.add_argument("--n", type=int, required=True)
     s.add_argument("--dest", required=True)
@@ -77,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         from bliss_rs_spark.sources.index_store import IndexStore
 
         store = IndexStore(args.index)
+        if args.cmd == "stats":
+            import os
+
+            with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+                metrics = json.load(f)
+            print(
+                json.dumps(
+                    {
+                        "current": store.current_snapshot(),
+                        "snapshots": store.snapshots(),
+                        "meta": store.meta(),
+                        "metrics": metrics,
+                    }
+                )
+            )
+            return 0
         if args.cmd in ("build", "update"):
             from bliss_rs_spark.plans.lifecycle import build_full, update_index
             from bliss_rs_spark.sources.documents import load_documents
