@@ -207,20 +207,35 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit fingerprint into 4 x 16-bit bands;
-    two fingerprints within hamming distance 3 must agree on at least one
-    band, so candidates come from 4 band-bucket self-joins (union, distinct)
+    Pigeonhole banding: split the 64-bit fingerprint into max_hamming + 1
+    bands; two fingerprints within hamming distance max_hamming must agree
+    on at least one band (pigeonhole — recall is exactly 1 for emitted
+    pairs), so candidates come from band-bucket self-joins (union, distinct)
     and are then verified with an exact popcount — never an all-pairs scan.
+    Default max_hamming=3 gives the classic 4 x 16-bit split.
     All JVM bit arithmetic, so the DuckDB oracle replays it exactly.
     """
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 16:
+        raise ValueError(
+            f"max_hamming={max_hamming}: need 0 <= max_hamming <= 15 so each "
+            "of the max_hamming+1 pigeonhole bands keeps >= 4 bits"
+        )
+    width = 64 // n_bands
     sh = simhash64(docs, content_col)
     bands = None
-    for i in range(4):
+    for i in range(n_bands):
+        w = width if i < n_bands - 1 else 64 - width * (n_bands - 1)
+        start = i * width
+        bexpr = (
+            "simhash" if w >= 64
+            else f"(simhash >> {start}) & {(1 << w) - 1}"
+        )
         b = sh.select(
             "doc_id",
             "simhash",
             F.lit(i).alias("band"),
-            F.expr(f"(simhash >> {16 * i}) & 65535").alias("bkey"),
+            F.expr(bexpr).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
     cand = (

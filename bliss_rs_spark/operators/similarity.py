@@ -73,46 +73,96 @@ def cosine_topk_by_id(
     return cosine_topk(emb.filter(F.col(id_col) != query_id), vec, k, vec_col, id_col)
 
 
+def hyperplanes(n_planes: int = 12, seed: int = 7, dim: int = 64) -> np.ndarray:
+    """Seeded random hyperplanes shared by the Spark operator and the DuckDB
+    oracle (emitted there as literal double arrays — same float64 values)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     cosine_threshold: float = 0.95,
     n_planes: int = 12,
+    bands: int = 4,
     seed: int = 7,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing.
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH.
 
-    Vectors sharing all n_planes signs land in one bucket; the exact cosine
-    filter runs only within buckets.  Recall < 1 by construction (LSH); pair
-    count and threshold semantics are exact for emitted pairs.
+    The n_planes sign bits are split into ``bands`` bands of
+    n_planes/bands planes; vectors agreeing on ALL bits of ANY band become a
+    candidate pair (union over band buckets, distinct), then the exact cosine
+    filter verifies.  Banding trades precision for recall exactly like the
+    MinHash banding path (operators/dedup.py): requiring all 12 signs in one
+    bucket finds only near-identical vectors, while 4 bands x 3 planes admit
+    a pair if any 3-plane projection agrees — P[candidate] =
+    1-(1-p^r)^b with p = 1 - theta/pi.  Emitted pairs are exact (verified);
+    recall < 1 only from vectors where every band has a sign flip.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = F.concat_ws(
-        "",
-        *[
-            F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in planes[i]])) >= 0, "1").otherwise("0")
-            for i in range(n_planes)
-        ],
-    )
-    b = emb.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
-    pairs = (
-        b.alias("x")
-        .join(b.alias("y"), "bucket")
+    assert n_planes % bands == 0
+    rows_per_band = n_planes // bands
+    planes = hyperplanes(n_planes, seed, dim)
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in planes[i]])) >= 0,
+            "1",
+        ).otherwise("0")
+        for i in range(n_planes)
+    ]
+    banded = None
+    for bi in range(bands):
+        key = F.concat_ws("", *bits[bi * rows_per_band : (bi + 1) * rows_per_band])
+        part = emb.select(
+            F.col(id_col), F.lit(bi).alias("band"), key.alias("bkey")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            (
-                _dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
-                / (_norm(F.col(f"x.{vec_col}")) * _norm(F.col(f"y.{vec_col}")))
-            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    v = emb.select(F.col(id_col), F.col(vec_col))
+    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
     )
-    return pairs
+
+
+def ivf_random_codebook(n_cells: int = 16, seed: int = 11, dim: int = 64) -> np.ndarray:
+    """Seeded, normalized random codebook — deterministic plan-shape default;
+    shared with the DuckDB oracle as literal double arrays.  Use
+    kmeans_codebook for data-adapted cells (better balance/recall)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right float64 dot — bitwise-identical to Spark's
+    F.aggregate fold and DuckDB's list_dot_product loop (numpy's pairwise/
+    SIMD `@` is NOT, which breaks oracle tie-breaks at rounding boundaries)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
 def ivf_assign(
@@ -122,18 +172,16 @@ def ivf_assign(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest seeded random
-    centroid (argmin over a literal centroid set — `least`-chain in JVM).
+    """IVF coarse quantizer: assign each vector to its max-cosine centroid
+    (argmax over a literal broadcast centroid set; ties pick the lowest cell).
 
-    At scale the centroid set comes from a sampled k-means; a seeded random
-    codebook keeps this deterministic and dependency-free while exercising
-    the identical plan shape (argmin over broadcast centroids, partition by
-    cell).
+    ``centroids`` defaults to the seeded random codebook; pass
+    ``kmeans_codebook(...)`` output for data-adapted cells.
     """
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = centroids if centroids is not None else ivf_random_codebook(n_cells, seed, dim)
+    n_cells = len(cents)
     dists = [
         (_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
          / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))).alias(f"c{i}")
@@ -160,8 +208,11 @@ def score_with_model(
     from the seeds, /root/reference/src/playlist.rs:230-251).
 
     The model (a weight vector here; any picklable scorer in general) ships
-    once per executor via the UDF closure; scoring is one vectorized
-    matrix-vector product per Arrow batch.
+    once per executor via the UDF closure; scoring is vectorized across the
+    Arrow batch.  The dot product accumulates dimension-by-dimension in
+    float64 (column-vectorized over rows) rather than via numpy's
+    pairwise-summed ``@`` so the result is bitwise-identical to a sequential
+    SQL fold (DuckDB list_dot_product) — the oracle-parity requirement.
     """
     w = np.asarray(weights, dtype=np.float64)
     b = float(bias)
@@ -169,7 +220,10 @@ def score_with_model(
     @F.pandas_udf("double")
     def model_score(v: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        z = mat @ w + b
+        z = np.zeros(len(mat), dtype=np.float64)
+        for j in range(mat.shape[1]):  # sequential over dims, vectorized over rows
+            z += mat[:, j] * w[j]
+        z += b
         return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return emb.select(F.col(id_col), model_score(F.col(vec_col)).alias("model_score"))
@@ -217,16 +271,93 @@ def ivf_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: score only vectors in the n_probe cells nearest the
-    query.  Same top-k contract as cosine_topk, recall < 1 (ANN)."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    q = np.asarray(query_vec, dtype=float)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    order = np.argsort(-(cents @ qn))
-    probe = [int(c) for c in order[:n_probe]]
-    assigned = ivf_assign(emb, n_cells, seed, dim, vec_col, id_col)
+    query.  Same top-k contract as cosine_topk, recall < 1 (ANN).
+
+    Probe cells are ranked by sequential dot(centroid, query) (cosine order
+    is identical — centroid norms cancel only in rank, and the query norm is
+    a common factor), tie-broken on the cell index, so the DuckDB oracle's
+    ``ORDER BY list_dot_product(c, qe) DESC, cell ASC LIMIT n_probe``
+    reproduces the probe set bit-for-bit.
+    """
+    cents = centroids if centroids is not None else ivf_random_codebook(n_cells, seed, dim)
+    scores = [_seq_dot(c, query_vec) for c in cents]
+    order = sorted(range(len(cents)), key=lambda i: (-scores[i], i))
+    probe = order[:n_probe]
+    assigned = ivf_assign(emb, len(cents), seed, dim, vec_col, id_col, centroids=cents)
     cand = assigned.filter(F.col("cell").isin(probe)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 11,
+    sample_fraction: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means codebook for IVF: Lloyd's iterations as Spark jobs.
+
+    - init: seeded deterministic sample of n_cells vectors (sortable hash of
+      the id column — partitioning-independent), normalized
+    - assign: argmax-cosine over broadcast literal centroids (ivf_assign)
+    - update: per-cell mean of the normalized members via posexplode ->
+      groupBy(cell, pos) avg — a bounded (n_cells x dim)-row aggregate, never
+      a collect of vectors — then re-normalize on the driver
+    - empty cells keep their previous centroid (deterministic)
+
+    With ``sample_fraction`` the iterations run on a seeded sample (the
+    100 TB path: the codebook needs only a representative sample; the full
+    assign pass happens once at index-build time).
+    """
+    work = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_fraction is not None:
+        work = work.sample(fraction=sample_fraction, seed=seed)
+    work = work.withColumn(
+        "_vn",
+        F.transform(
+            F.col("_v"),
+            lambda x: x.cast("double")
+            / F.greatest(_norm(F.col("_v")), F.lit(1e-12)),
+        ),
+    ).select("_id", "_vn").cache()
+
+    # deterministic seeded init: order by a salted hash of the id
+    init_rows = (
+        work.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["_vn"], dtype=np.float64) for r in init_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            work, len(cents), seed, cents.shape[1], vec_col="_vn", id_col="_id",
+            centroids=cents,
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("_vn").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in sums:
+            acc[r["cell"], r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        for c in range(len(cents)):
+            if cnt[c] > 0:
+                v = acc[c] / cnt[c]
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    new[c] = v / nv
+        cents = new
+    work.unpersist()
+    return cents

@@ -222,19 +222,43 @@ WHERE NOT EXISTS (
 
 
 # --- dedup --------------------------------------------------------------------
+#
+# The dedup gates union the testdata docs with DETERMINISTIC planted clones
+# (same injection replayed in the oracle SQL) so a pass is never the vacuous
+# 0 == 0: the sf0.01 corpus happens to contain no natural duplicates, and a
+# gate that can't return rows can't catch a regression.
+
+_CLONE_MOD = 25          # every 25th doc gets an exact clone
+_CLONE_ID_OFFSET = 1_000_000
+
+
+def _docs_with_exact_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_adapted(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % _CLONE_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + _CLONE_ID_OFFSET
+    )
+    return docs.unionByName(clones)
+
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: sha256 hash-groupBy (P7 exact tier)."""
+    """Exact dedup: sha256 hash-groupBy (P7 exact tier) over docs + planted
+    exact clones (non-vacuous gate)."""
     from bliss_rs_spark.operators.dedup import exact_dup_groups
 
-    return exact_dup_groups(_docs_adapted(spark, sf_dir)).select(
+    return exact_dup_groups(_docs_with_exact_clones(spark, sf_dir)).select(
         "content_sha256", "n_docs", "keep_doc_id"
     )
 
 
-ORACLE_EXACT_DUP = """
+ORACLE_EXACT_DUP = f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+)
 SELECT sha256(text) AS content_sha256, count(*) AS n_docs, min(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM alldocs GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -255,11 +279,19 @@ FROM hashed h JOIN keep k ON k.content_sha256 = h.content_sha256 AND k.doc_id = 
 
 
 def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-token-stream fingerprint groups (whitespace/case-insensitive dedup)."""
+    """Normalized-token-stream fingerprint groups (whitespace-insensitive
+    dedup) over docs + planted whitespace-perturbed clones: the clones have a
+    DIFFERENT sha256 but the SAME fingerprint — exactly the tier this
+    operator exists to catch (non-vacuous gate)."""
     from bliss_rs_spark.operators.dedup import with_fingerprint
 
+    docs = _docs_adapted(spark, sf_dir).select("doc_id", "content")
+    clones = docs.filter(F.col("doc_id") % _CLONE_MOD == 0).select(
+        (F.col("doc_id") + _CLONE_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("content"), F.lit("\n\n  \t")).alias("content"),
+    )
     return (
-        with_fingerprint(_docs_adapted(spark, sf_dir))
+        with_fingerprint(docs.unionByName(clones))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -267,9 +299,15 @@ def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FINGERPRINT = f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_ID_OFFSET} AS doc_id, text || e'\\n\\n  \\t' AS text
+  FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+)
 SELECT md5(array_to_string({_TOKS_DD}, ' ')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM alldocs GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -461,8 +499,20 @@ LIMIT 10
 """
 
 
+def _dlist(arr) -> str:
+    """NumPy float64 vector -> DuckDB double-array literal.  repr() round-trips
+    float64 exactly, so the SQL literal is the same bit pattern Spark gets
+    from F.lit(float(v))."""
+    return "[" + ", ".join(repr(float(x)) for x in arr) + "]::double[]"
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-k (seeded codebook; rows-only oracle)."""
+    """IVF-bucketed ANN top-k over the seeded random codebook.  The oracle
+    replays the identical arithmetic: the 16 normalized centroids are emitted
+    as literal double arrays, assignment is argmax cosine (ties -> lowest
+    cell), probe cells are the top-4 by dot(centroid, query), and the final
+    cosine top-k runs over the probed cells only.  Every float op is a
+    sequential float64 fold in both engines, so results are bit-identical."""
     from bliss_rs_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -473,13 +523,107 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_ann_ivf() -> str:
+    from bliss_rs_spark.operators.similarity import ivf_random_codebook
+
+    cents = ivf_random_codebook(16, 11, 64)
+    values = ",\n    ".join(f"({i}, {_dlist(cents[i])})" for i in range(len(cents)))
+    return f"""
+WITH cents(cell, c) AS (VALUES
+    {values}),
+q AS (SELECT embedding::double[] AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_dot_product(c, qe) DESC, cell ASC LIMIT 4
+),
+scored AS (
+  SELECT e.vec_id, e.embedding::double[] AS v, c.cell,
+         list_dot_product(e.embedding::double[], c.c)
+         / greatest(sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])), 1e-12) AS cos
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id <> 0
+),
+assign AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id,
+       round(list_dot_product(a.v, q.qe)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+       AS cosine_r
+FROM assign a, q
+ORDER BY list_dot_product(a.v, q.qe)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+         vec_id ASC
+LIMIT 10
+"""
+
+
+_EMB_CLONE_MOD = 50
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH embedding near-dup pairs (seeded planes; rows-only oracle)."""
+    """Banded hyperplane-LSH embedding near-dup pairs over the testdata
+    vectors + planted identical clones (vec_id % 50 -> vec_id + 1e6), so the
+    gate is non-vacuous: each clone pair shares every band bucket and scores
+    cosine 1.0 exactly.  The oracle replays the seeded planes as literal
+    double arrays and the same 4-band x 3-plane bucketing."""
     from bliss_rs_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), cosine_threshold=0.9).select(
-        "id_a", "id_b", _r6(F.col("cosine")).alias("cosine_r")
+    emb = _emb(spark, sf_dir)
+    clones = emb.filter(F.col("vec_id") % _EMB_CLONE_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + _CLONE_ID_OFFSET
     )
+    return embedding_neardup_pairs(
+        emb.unionByName(clones), cosine_threshold=0.9, n_planes=12, bands=4
+    ).select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine_r"))
+
+
+def _oracle_embedding_neardup() -> str:
+    from bliss_rs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(12, 7, 64)
+    bits = ",\n         ".join(
+        f"(CASE WHEN list_dot_product(v, {_dlist(planes[i])}) >= 0 "
+        f"THEN '1' ELSE '0' END) AS b{i}"
+        for i in range(12)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, b{3*bi} || b{3*bi+1} || b{3*bi+2} AS bkey FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH allv AS (
+  SELECT vec_id, embedding::double[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_CLONE_ID_OFFSET} AS vec_id, embedding::double[] AS v
+  FROM embeddings WHERE vec_id % {_EMB_CLONE_MOD} = 0
+),
+sig AS (
+  SELECT vec_id, v,
+         {bits}
+  FROM allv
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.vec_id < y.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM cand c
+  JOIN allv a ON a.vec_id = c.id_a
+  JOIN allv b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM pairs WHERE cosine >= 0.9
+"""
 
 
 # --- text analysis --------------------------------------------------------------
@@ -757,18 +901,33 @@ SELECT repo, rank_in_repo::int AS rank_in_repo, doc_id, score_r FROM (
 """
 
 
-def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-model scoring over embeddings (F3; rows-only oracle —
-    seeded NumPy weights)."""
+def _model_weights():
     import numpy as np
 
+    return np.random.default_rng(5).standard_normal(64) * 0.3
+
+
+def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-model scoring over embeddings (F3).  The seeded weights are
+    emitted into the oracle as a literal double array; the UDF accumulates
+    the dot product dimension-sequentially so both engines compute the same
+    float64 fold, and round(sigmoid, 6) matches bit-for-bit."""
     from bliss_rs_spark.operators.similarity import score_with_model
 
-    rng = np.random.default_rng(5)
-    w = rng.standard_normal(64) * 0.3
+    w = _model_weights()
     return score_with_model(_emb(spark, sf_dir), [float(x) for x in w]).select(
         "vec_id", _r6(F.col("model_score")).alias("model_score_r")
     )
+
+
+def _oracle_model_scores() -> str:
+    w = _dlist(_model_weights())
+    return f"""
+SELECT vec_id,
+       round(1.0 / (1.0 + exp(-(list_dot_product(embedding::double[], {w})))), 6)
+       AS model_score_r
+FROM embeddings
+"""
 
 
 def q_bottomk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,18 +1023,27 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# oracle: occurrences of the phrase in the normalized token stream =
-# (len(stream) - len(replace(stream, phrase, ''))) / len(phrase) on a
-# space-joined token string with sentinel spaces.
+def _phrase_occ_cte(phrase: str) -> str:
+    """Token-position phrase counting CTE (``occ``): counts every start
+    position i with t[i..i+L-1] == phrase terms.  Positional, so back-to-back
+    repeats of the phrase count individually — the replace()-based formulation
+    consumed the shared boundary space and undercounted adjacent repeats,
+    diverging from the engine's exact positional intersection."""
+    terms = phrase.split()
+    conds = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+occ AS (
+  SELECT doc_id, count(*) AS phrase_tf
+  FROM tarr, unnest(generate_series(1, len(t) - {len(terms) - 1})) AS g(i)
+  WHERE {conds}
+  GROUP BY doc_id
+)"""
+
+
 ORACLE_PHRASE_MATCH = f"""
-WITH s AS (
-  SELECT doc_id, ' ' || array_to_string({_TOKS_DD}, ' ') || ' ' AS stream
-  FROM documents
-)
-SELECT doc_id,
-       ((length(stream) - length(replace(stream, ' {PHRASE} ', ''))) / length(' {PHRASE} '))::int AS phrase_tf
-FROM s
-WHERE stream LIKE '% {PHRASE} %'
+WITH {_phrase_occ_cte(PHRASE)}
+SELECT doc_id, phrase_tf::int AS phrase_tf FROM occ
 """
 
 
@@ -1036,12 +1204,8 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id, stats
   GROUP BY tf.doc_id
 ),
-ph AS (
-  SELECT doc_id,
-         ((length(stream) - length(replace(stream, ' {PHRASE} ', ''))) / length(' {PHRASE} '))::int AS phrase_tf
-  FROM (SELECT doc_id, ' ' || array_to_string({_TOKS_DD}, ' ') || ' ' AS stream FROM documents)
-  WHERE stream LIKE '% {PHRASE} %'
-)
+{_phrase_occ_cte(PHRASE).lstrip()},
+ph AS (SELECT doc_id, phrase_tf::int AS phrase_tf FROM occ)
 SELECT s.doc_id, ph.phrase_tf, round(s.score, 6) AS score_r
 FROM scored s JOIN ph ON ph.doc_id = s.doc_id
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
@@ -1186,8 +1350,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "simhash": (q_simhash, ORACLE_SIMHASH),
         "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH_NEARDUP),
         "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
-        "ann_ivf_topk": (q_ann_ivf_topk, None),
-        "embedding_neardup": (q_embedding_neardup, None),
+        "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
+        "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
         "quality": (q_quality, _oracle_quality()),
         "lang_id": (q_lang_id, _oracle_lang_id()),
         "topk_per_lang": (q_topk_per_lang, ORACLE_TOPK_PER_LANG),
@@ -1198,7 +1362,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "variance_weights": (q_variance_weights, ORACLE_VARIANCE_WEIGHTS),
         "lineitem_pricing": (q_lineitem_pricing, ORACLE_LINEITEM_PRICING),
         "repo_group_topk": (q_repo_group_topk, ORACLE_REPO_GROUP_TOPK),
-        "model_scores": (q_model_scores, None),
+        "model_scores": (q_model_scores, _oracle_model_scores()),
         "bottomk_fingerprint": (q_bottomk_fingerprint, ORACLE_BOTTOMK_FP),
         "greedy_chain": (q_greedy_chain, _oracle_greedy_chain(5)),
         "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),

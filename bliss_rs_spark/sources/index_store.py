@@ -58,9 +58,17 @@ class IndexStore:
             return f.read().strip() or None
 
     def _next_snapshot_name(self) -> str:
+        # derive from max(existing snapshot dirs), not CURRENT+1: a crash
+        # between os.replace(stage, final) and the CURRENT write leaves an
+        # orphaned vNNNNN dir, and CURRENT+1 would then collide with it
+        # forever (ENOTEMPTY on every later commit — store wedged)
+        snaps = self.snapshots()
         cur = self.current_snapshot()
-        n = int(cur[1:]) + 1 if cur else 1
-        return f"v{n:05d}"
+        hi = max(
+            max((int(s[1:]) for s in snaps), default=0),
+            int(cur[1:]) if cur else 0,
+        )
+        return f"v{hi + 1:05d}"
 
     def snapshot_dir(self, name: str | None = None) -> str:
         name = name or self.current_snapshot()

@@ -43,8 +43,12 @@ def stream_documents_to_index(
     batches); every micro-batch upserts into the index store.  Returns the
     StreamingQuery (caller drives with processAllAvailable/stop in tests,
     trigger(availableNow=True) in jobs)."""
-    cfg = cfg or IndexConfig()
-
+    # cfg stays None unless the caller overrides: update_index inherits the
+    # STORE's persisted config (layout options like lang_tagging /
+    # store_positions are properties of the index — defaulting to a fresh
+    # IndexConfig() here would silently mix tagged/untagged postings and drop
+    # positional/doc_map frames from subsequent snapshots).  The first-build
+    # path inside update_index defaults to IndexConfig() on its own.
     incoming = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 4)
