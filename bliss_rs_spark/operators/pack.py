@@ -188,6 +188,87 @@ def ordinalize_packed(packed: DataFrame, doc_map: DataFrame) -> DataFrame:
     )
 
 
+UNPACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+
+def unpack_postings(
+    packed: DataFrame,
+    doc_map: DataFrame | None = None,
+) -> DataFrame:
+    """Packed per-(shard, term) rows -> flat (shard, term, doc_id, tf, dl).
+
+    The exact inverse of build_packed_index (codec roundtrip is
+    hypothesis-tested in tests/test_codec.py) — the incremental-update read
+    path: instead of scanning the WHOLE flat postings table to rebuild a few
+    doc-shards, the updater reads only the touched ``shard=N`` packed
+    partitions (partition-pruned) and decodes them back to flat postings.
+    With ``doc_map`` the blocks hold shard-local ordinals and are translated
+    back to raw doc_ids via the shard's sorted id list (cogrouped per shard,
+    one vectorized take per block).
+    """
+    from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+    def explode_rows(packed_pdf: pd.DataFrame, ids: np.ndarray | None):
+        shards, terms, docs_out, tfs_out, dls_out = [], [], [], [], []
+        for shard, term, blocks in zip(
+            packed_pdf["shard"], packed_pdf["term"], packed_pdf["blocks"]
+        ):
+            for bl in blocks:
+                d = decode_doc_ids(bytes(bl["docs"]))
+                if ids is not None:
+                    d = ids[d]
+                n = len(d)
+                shards.append(np.full(n, shard, dtype=np.int32))
+                terms.extend([term] * n)
+                docs_out.append(d)
+                tfs_out.append(varbyte_decode(bytes(bl["tfs"])).astype(np.int64))
+                dls_out.append(varbyte_decode(bytes(bl["dls"])).astype(np.int64))
+        if not terms:
+            return pd.DataFrame(
+                {"shard": [], "term": [], "doc_id": [], "tf": [], "dl": []}
+            )
+        return pd.DataFrame(
+            {
+                "shard": np.concatenate(shards),
+                "term": terms,
+                "doc_id": np.concatenate(docs_out).astype(np.int64),
+                "tf": np.concatenate(tfs_out),
+                "dl": np.concatenate(dls_out),
+            }
+        )
+
+    if doc_map is None:
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield explode_rows(pdf, None)
+
+        return packed.mapInPandas(gen, UNPACKED_SCHEMA)
+
+    def rewrite(key, packed_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(packed_pdf) == 0 or len(map_pdf) == 0:
+            return pd.DataFrame(
+                {"shard": [], "term": [], "doc_id": [], "tf": [], "dl": []}
+            )
+        ids = decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0]))
+        return explode_rows(packed_pdf, ids)
+
+    return (
+        packed.groupBy("shard")
+        .cogroup(doc_map.groupBy("shard"))
+        .applyInPandas(rewrite, UNPACKED_SCHEMA)
+    )
+
+
 def build_packed_index(
     postings: DataFrame,
     term_stats: DataFrame,

@@ -41,7 +41,13 @@ from bliss_rs_spark.operators.build_index import (
     split_errors,
     tokenize_documents,
 )
-from bliss_rs_spark.operators.pack import build_packed_index_full
+from bliss_rs_spark.operators.pack import (
+    build_doc_map,
+    build_packed_index,
+    build_packed_index_full,
+    ordinalize_packed,
+    unpack_postings,
+)
 from bliss_rs_spark.sources.index_store import IndexStore
 
 
@@ -85,45 +91,8 @@ def _tokenize_with_checkpoint(
     )
 
 
-def _assemble_and_commit(
-    spark: SparkSession,
-    tokenized: DataFrame,
-    store: IndexStore,
-    cfg: IndexConfig,
-    prior_errors: DataFrame | None,
-    t_start: float,
-    docs_processed: int,
-) -> str:
-    # NOTE: no .cache() on the tokenized rows — they carry big string arrays,
-    # and materializing those into the block-manager from 32 concurrent tasks
-    # contends badly (measured 2.5x slowdown).  When checkpointing is on the
-    # rows already live in parquet; the two downstream scans (doc_stats,
-    # postings) each prune to the columns they need.
-    ok, errors = split_errors(tokenized)
-    if prior_errors is not None:
-        errors = prior_errors.unionByName(errors)
-
-    doc_stats = build_doc_stats(ok)
-    stats_row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
-
-    postings = build_postings(ok, cfg)
-    term_stats = build_term_stats(postings, n_docs).cache()
-    # n_postings and bucket skew both come from the tiny term_stats frame —
-    # never a second full postings scan just for metrics
-    agg = term_stats.agg(F.sum("df").alias("np")).collect()[0]
-    n_postings = int(agg["np"] or 0)
-    packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
-
-    positional = None
-    if cfg.store_positions:
-        from bliss_rs_spark.operators.phrase import build_positional_postings
-
-        positional = build_positional_postings(ok, cfg)
-
-    manifest = doc_stats.select(
+def _manifest_rows(doc_stats: DataFrame, errors: DataFrame, cfg: IndexConfig) -> DataFrame:
+    return doc_stats.select(
         "doc_id",
         "content_sha256",
         F.lit(cfg.analyzer_version).alias("analyzer_version"),
@@ -136,6 +105,73 @@ def _assemble_and_commit(
             F.lit("failed").alias("status"),
         )
     )
+
+
+def _write_segment_from_tokenized(
+    spark: SparkSession,
+    tokenized: DataFrame,
+    store: IndexStore,
+    cfg: IndexConfig,
+    seg_name: str,
+) -> str:
+    """Tokenized rows -> one immutable segment on disk.  The tokenizer runs
+    exactly once (during the segment write); every downstream consumer reads
+    the written parquet back instead of re-evaluating the UDF lineage."""
+    ok, errors = split_errors(tokenized)
+    doc_stats = build_doc_stats(ok)
+    frames = {
+        "postings": build_postings(ok, cfg),
+        "doc_stats": doc_stats,
+        "manifest": _manifest_rows(doc_stats, errors, cfg),
+        "errors": errors,
+    }
+    if cfg.store_positions:
+        from bliss_rs_spark.operators.phrase import build_positional_postings
+
+        frames["positional"] = build_positional_postings(ok, cfg)
+    return store.write_segment(frames, seg_name)
+
+
+def _read_segment(spark: SparkSession, store: IndexStore, seg: str, frame: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(store.segments_dir, seg, frame))
+
+
+def _assemble_and_commit(
+    spark: SparkSession,
+    tokenized: DataFrame,
+    store: IndexStore,
+    cfg: IndexConfig,
+    t_start: float,
+    docs_processed: int,
+    avgdl_override: float | None = None,
+) -> str:
+    """Full-build commit: one segment holding the whole corpus, fresh packed
+    index, empty tombstones.  ``avgdl_override`` pins the BM25 length norm to
+    a caller-supplied epoch value (used to verify incremental updates are
+    byte-identical to a pinned-avgdl rebuild; production full builds re-derive
+    it exactly)."""
+    seg_name = _write_segment_from_tokenized(
+        spark, tokenized, store, cfg, store.next_segment_name()
+    )
+    doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
+    postings = _read_segment(spark, store, seg_name, "postings")
+
+    stats_row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()[0]
+    n_docs = int(stats_row["n"])
+    sum_dl = int(stats_row["sdl"] or 0)
+    avgdl_exact = (sum_dl / n_docs) if n_docs else 0.0
+    avgdl = avgdl_exact if avgdl_override is None else float(avgdl_override)
+
+    term_stats = build_term_stats(postings, n_docs).cache()
+    # n_postings and bucket skew both come from the tiny term_stats frame —
+    # never a second full postings scan just for metrics
+    agg = term_stats.agg(F.sum("df").alias("np")).collect()[0]
+    n_postings = int(agg["np"] or 0)
+    packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
     elapsed = max(time.perf_counter() - t_start, 1e-9)
     metrics = {
@@ -151,21 +187,21 @@ def _assemble_and_commit(
     }
     meta = {
         "config": __import__("json").loads(cfg.to_json()),
+        "layout": 2,
+        "segments": [seg_name],
         "n_docs": n_docs,
-        "avgdl": avgdl,
+        "sum_dl": sum_dl,
+        "avgdl": avgdl,           # the scoring/packing epoch value
+        "avgdl_exact": avgdl_exact,
         "analyzer_version": cfg.analyzer_version,
         "index_format_version": cfg.index_format_version,
     }
     name = store.commit_snapshot(
         {
-            "doc_stats": doc_stats,
-            "postings": postings,
             "term_stats": term_stats,
             "packed": packed,
-            "manifest": manifest,
-            "errors": errors,
+            "tombstones": store.empty_tombstones(spark),
             **({"doc_map": doc_map} if doc_map is not None else {}),
-            **({"positional": positional} if positional is not None else {}),
         },
         meta,
         metrics,
@@ -179,8 +215,12 @@ def build_full(
     store: IndexStore,
     cfg: IndexConfig | None = None,
     checkpoint: bool = True,
+    avgdl_override: float | None = None,
 ) -> str:
-    """Full (re)build; with checkpoint=True a killed build resumes for free."""
+    """Full (re)build; with checkpoint=True a killed build resumes for free.
+    Doubles as the store's compaction: the new snapshot references a single
+    fresh segment, tombstones reset to empty, and gc() reclaims the old
+    segments."""
     cfg = cfg or IndexConfig()
     t0 = time.perf_counter()
     if "doc_id" not in docs.columns or "content_sha256" not in docs.columns:
@@ -190,7 +230,7 @@ def build_full(
         tokenized = _tokenize_with_checkpoint(spark, docs, store, cfg)
     else:
         tokenized = tokenize_documents(docs, cfg)
-    return _assemble_and_commit(spark, tokenized, store, cfg, None, t0, n_in)
+    return _assemble_and_commit(spark, tokenized, store, cfg, t0, n_in, avgdl_override)
 
 
 def update_index(
@@ -200,14 +240,35 @@ def update_index(
     cfg: IndexConfig | None = None,
     delete_missing: bool = False,
 ) -> str:
-    """Incremental update: tokenize only new/changed docs, carry everything
-    else forward from the current snapshot, commit a new snapshot.
+    """Incremental update, O(delta) in I/O and shuffle:
 
-    With cfg=None the update inherits the INDEX's persisted config — layout
-    options like store_positions/ordinal_docids are properties of the store,
-    and silently changing them mid-stream would drop frames (the
-    FeaturesVersion don't-mix principle applied to physical layout).
+    - tokenize only new/changed docs; write them as ONE new immutable segment
+      (old segments are never rewritten)
+    - removed/changed docs become tombstones (doc_id, before_seq) — the
+      delete-file move that logically drops rows from immutable segments
+    - repack ONLY the doc-shards containing touched docs: read those shards'
+      packed partitions (partition-pruned), decode back to flat postings
+      (unpack_postings), drop removed docs, union the delta, repack.
+      Untouched ``packed/shard=N`` partitions are HARD-LINKED into the new
+      snapshot — zero I/O (asserted by inode equality in tests)
+    - term_stats updated exactly and incrementally: df' = df + df(delta)
+      - df(removed postings), idf recomputed for the new N over the
+      vocab-sized frame
+    - avgdl stays PINNED to the store's epoch value, so untouched shards'
+      precomputed block-max norms remain valid; the exact running value is
+      tracked in meta (sum_dl / n_docs) and re-pinned by the next build_full.
+      This makes an update byte-identical (per shard) to
+      ``build_full(avgdl_override=epoch)`` on the same corpus.
+
+    Upsert semantics match the reference's delete+reinsert of only the
+    touched song's rows in one transaction
+    (/root/reference/src/library.rs:1544-1633); with cfg=None the update
+    inherits the INDEX's persisted config — layout options like
+    store_positions/ordinal_docids are properties of the store, and silently
+    changing them mid-stream would drop frames.
     """
+    import os
+
     t0 = time.perf_counter()
     if store.current_snapshot() is None:
         return build_full(spark, incoming, store, cfg or IndexConfig())
@@ -217,15 +278,21 @@ def update_index(
     if meta["analyzer_version"] != cfg.analyzer_version:
         # mixed-version stores are refused, exactly like the reference's
         # version sanity check (/root/reference/src/library.rs:708-735);
-        # callers re-run build_full after clearing checkpoints to migrate.
+        # callers run migrate()/build_full to move the store forward.
         raise ValueError(
             f"index built with analyzer_version={meta['analyzer_version']}, "
             f"config says {cfg.analyzer_version}: refusing to mix; run build_full"
         )
+    if "segments" not in meta:
+        # layout-1 snapshot (pre-segment store): no segment bookkeeping to
+        # extend — rebuild once into the segmented layout (checkpointed docs
+        # are not re-tokenized), then updates are incremental again.
+        return build_full(spark, incoming, store, cfg)
 
     if "doc_id" not in incoming.columns or "content_sha256" not in incoming.columns:
         incoming = with_invariants(incoming)
     incoming = incoming.cache()
+    n_in = incoming.count()
 
     manifest = store.load(spark, "manifest")
     done_ok = manifest.filter(
@@ -233,101 +300,187 @@ def update_index(
         & (F.col("analyzer_version") == cfg.analyzer_version)
     ).select("doc_id", "content_sha256")
 
-    # 3. skip-already-analyzed: new or content-changed docs only
+    # skip-already-analyzed: new or content-changed docs only (J3 anti-join)
     delta = incoming.join(done_ok, ["doc_id", "content_sha256"], "left_anti").cache()
     n_delta = delta.count()
 
-    # 2. vanished docs: indexed but absent from the incoming corpus
+    # removed = docs whose existing rows must die: changed docs (old version
+    # replaced) + vanished docs (delete_missing) — the upsert delete half
+    manifest_ids = manifest.select("doc_id").distinct()
+    removed = delta.select("doc_id").distinct().join(manifest_ids, "doc_id", "left_semi")
     if delete_missing:
-        keep_ids = done_ok.join(
-            incoming.select("doc_id"), "doc_id", "left_semi"
+        removed = removed.unionByName(
+            manifest_ids.join(incoming.select("doc_id"), "doc_id", "left_anti")
+        )
+    removed = removed.distinct().cache()
+    n_removed = removed.count()
+
+    avgdl = float(meta["avgdl"])  # epoch-pinned: keeps untouched blocks valid
+    segments = list(meta["segments"])
+    seg_name = store.next_segment_name()
+    next_seq = store.seg_seq(seg_name)
+
+    # --- new segment (only if there is a delta) -------------------------------
+    new_postings = None
+    n_new_ok = 0
+    sum_dl_new = 0
+    if n_delta > 0:
+        _write_segment_from_tokenized(
+            spark, tokenize_documents(delta, cfg), store, cfg, seg_name
+        )
+        segments.append(seg_name)
+        new_doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
+        new_postings = _read_segment(spark, store, seg_name, "postings")
+        row = new_doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        n_new_ok, sum_dl_new = int(row["n"]), int(row["sdl"] or 0)
+
+    # --- tombstones ------------------------------------------------------------
+    tombstones = store.load(spark, "tombstones")
+    if n_removed > 0:
+        tombstones = (
+            tombstones.unionByName(
+                removed.withColumn("before_seq", F.lit(next_seq).cast("int"))
+            )
+            .groupBy("doc_id")
+            .agg(F.max("before_seq").alias("before_seq"))
+        )
+
+    # --- delta shards: unpack, drop removed, union delta, repack ---------------
+    touched = removed
+    if new_postings is not None:
+        touched = touched.unionByName(new_postings.select("doc_id").distinct()).distinct()
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
+    delta_shards = sorted(
+        r[0] for r in touched.select(shard_col.alias("s")).distinct().collect()
+    )
+
+    old_packed = store.load(spark, "packed").filter(F.col("shard").isin(delta_shards))
+    old_doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
+    unpacked = unpack_postings(
+        old_packed,
+        old_doc_map.filter(F.col("shard").isin(delta_shards))
+        if old_doc_map is not None
+        else None,
+    ).cache()
+    removed_flat = unpacked.join(F.broadcast(removed), "doc_id", "left_semi")
+    kept_flat = unpacked.join(F.broadcast(removed), "doc_id", "left_anti")
+
+    repack_input = kept_flat.select("term", "doc_id", "tf", "dl")
+    if new_postings is not None:
+        repack_input = repack_input.unionByName(
+            new_postings.select("term", "doc_id", "tf", "dl")
+        )
+
+    # --- exact incremental term stats -------------------------------------------
+    ok_ids = done_ok.select("doc_id").distinct()
+    n_removed_ok = removed.join(ok_ids, "doc_id", "left_semi").count()
+    n_docs = int(meta["n_docs"]) - n_removed_ok + n_new_ok
+    sum_dl_removed = int(
+        removed_flat.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.sum("dl"))
+        .collect()[0][0]
+        or 0
+    )
+    sum_dl = int(meta.get("sum_dl", round(meta["avgdl"] * meta["n_docs"]))) \
+        - sum_dl_removed + sum_dl_new
+
+    bucket_of_term = F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int")
+    df_minus = (
+        removed_flat.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("minus"))
+        .withColumn("term_bucket", bucket_of_term)
+    )
+    if new_postings is not None:
+        df_plus = new_postings.groupBy("term", "term_bucket").agg(
+            F.count(F.lit(1)).alias("plus")
         )
     else:
-        keep_ids = done_ok
-    # docs whose content changed must drop their old rows too (upsert:
-    # delete+reinsert, src/library.rs:1544-1633)
-    keep_ids = keep_ids.join(delta.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id"
+        df_plus = df_minus.select("term", "term_bucket", F.lit(0).alias("plus")).limit(0)
+    old_ts = store.load(spark, "term_stats").select("term", "term_bucket", "df")
+    merged = (
+        old_ts.join(df_plus, ["term", "term_bucket"], "full")
+        .join(df_minus, ["term", "term_bucket"], "full")
+        .select(
+            "term",
+            "term_bucket",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("plus"), F.lit(0))
+                - F.coalesce(F.col("minus"), F.lit(0))
+            ).alias("df"),
+        )
+        .filter(F.col("df") > 0)
     )
-
-    new_tokenized = tokenize_documents(delta, cfg)
-    new_ok, new_errors = split_errors(new_tokenized)
-
-    old_doc_stats = store.load(spark, "doc_stats").join(keep_ids, "doc_id", "left_semi")
-    old_postings = store.load(spark, "postings").join(keep_ids, "doc_id", "left_semi")
-    prior_errors = store.load(spark, "errors").join(
-        delta.select("doc_id"), "doc_id", "left_anti"
-    )
-
-    new_doc_stats = build_doc_stats(new_ok)
-    doc_stats = old_doc_stats.unionByName(new_doc_stats).cache()
-    stats_row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
-
-    postings = old_postings.unionByName(build_postings(new_ok, cfg))
-    term_stats = build_term_stats(postings, n_docs).cache()
+    term_stats = merged.withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+    ).cache()
     n_postings = int(term_stats.agg(F.sum("df")).collect()[0][0] or 0)
-    packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
-    positional = None
-    if cfg.store_positions:
-        from bliss_rs_spark.operators.phrase import build_positional_postings
+    # --- repack only the delta shards -------------------------------------------
+    packed_delta = build_packed_index(repack_input, term_stats, n_docs, avgdl, cfg)
+    doc_map_out = None
+    if cfg.ordinal_docids:
+        sharded = repack_input.withColumn("shard", shard_col)
+        doc_map_delta = build_doc_map(sharded)
+        packed_delta = ordinalize_packed(packed_delta, doc_map_delta)
+        doc_map_out = old_doc_map.filter(
+            ~F.col("shard").isin(delta_shards)
+        ).unionByName(doc_map_delta)
 
-        old_positional = store.load(spark, "positional").join(
-            keep_ids, "doc_id", "left_semi"
-        )
-        positional = old_positional.unionByName(build_positional_postings(new_ok, cfg))
-
-    errors = prior_errors.unionByName(
-        new_errors
-    )
-    manifest_out = doc_stats.select(
-        "doc_id",
-        "content_sha256",
-        F.lit(cfg.analyzer_version).alias("analyzer_version"),
-        F.lit("ok").alias("status"),
-    ).unionByName(
-        errors.select(
-            "doc_id",
-            F.lit(None).cast("string").alias("content_sha256"),
-            F.lit(cfg.analyzer_version).alias("analyzer_version"),
-            F.lit("failed").alias("status"),
-        )
-    )
+    old_snapshot = store.current_snapshot()
+    old_packed_dir = os.path.join(store.snapshot_dir(old_snapshot), "packed")
+    carry_shards = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(old_packed_dir)
+        if d.startswith("shard=") and int(d.split("=")[1]) not in set(delta_shards)
+    ) if os.path.isdir(old_packed_dir) else []
 
     elapsed = max(time.perf_counter() - t0, 1e-9)
     metrics = {
         "docs_processed": n_delta,
-        "docs_skipped": int(incoming.count()) - n_delta,
+        "docs_skipped": n_in - n_delta,
+        "docs_removed": n_removed,
         "n_docs": n_docs,
         "n_postings": n_postings,
+        "n_shards_repacked": len(delta_shards),
+        "n_shards_carried": len(carry_shards),
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_delta / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
-        "skew_ratio_term_bucket": round(_skew_ratio(term_stats, "term_bucket", weight="df"), 3),
+        "skew_ratio_term_bucket": round(
+            _skew_ratio(term_stats, "term_bucket", weight="df"), 3
+        ),
     }
     meta_out = dict(
         meta,
+        segments=segments,
         n_docs=n_docs,
+        sum_dl=sum_dl,
         avgdl=avgdl,
+        avgdl_exact=(sum_dl / n_docs) if n_docs else 0.0,
         config=__import__("json").loads(cfg.to_json()),  # the cfg actually used
     )
-    return store.commit_snapshot(
+    name = store.commit_snapshot(
         {
-            "doc_stats": doc_stats,
-            "postings": postings,
             "term_stats": term_stats,
-            "packed": packed,
-            "manifest": manifest_out,
-            "errors": errors,
-            **({"doc_map": doc_map} if doc_map is not None else {}),
-            **({"positional": positional} if positional is not None else {}),
+            "packed": packed_delta,
+            "tombstones": tombstones,
+            **({"doc_map": doc_map_out} if doc_map_out is not None else {}),
         },
         meta_out,
         metrics,
+        carry_packed=(old_snapshot, carry_shards),
     )
+    unpacked.unpersist()
+    return name
 
 
 def query_index(

@@ -1,27 +1,45 @@
-"""Versioned on-disk index store: snapshot directories + atomic CURRENT pointer.
+"""Versioned on-disk index store: immutable SEGMENTS + snapshot directories
+referencing them + an atomic CURRENT pointer.
 
 Iceberg-style semantics without the Iceberg dependency (the jar is not in
 this image; the layout is designed so swapping the directory sink for
 ``spark.read.format("iceberg")`` tables is a one-module change):
 
     index_dir/
-      CURRENT          -> "v00003"  (atomic os.replace of a one-line file)
+      CURRENT            -> "v00003"  (atomic os.replace of a one-line file)
+      segments/
+        seg_000001/      IMMUTABLE per-batch data, shared across snapshots
+          postings/      parquet partitioned by term_bucket (query pruning)
+          doc_stats/     parquet (doc_id, repo, path, ..., dl, sha256)
+          manifest/      parquet (doc_id, sha256, analyzer_version, status)
+          errors/        parquet failure ledger (src/library.rs:1639-1668)
+          positional/    parquet (only when cfg.store_positions)
       v00003/
-        config.json    engine config + corpus stats + versions (the
-                       BaseConfig analogue, /root/reference/src/library.rs:263-281)
-        metrics.json   build metrics (docs/sec, postings/sec, skew ratio —
-                       the progress-counter analogue, src/library.rs:1204-1287)
-        doc_stats/     parquet
-        postings/      parquet partitioned by term_bucket (query pruning)
-        term_stats/    parquet
-        packed/        parquet partitioned by shard (WAND path)
-        manifest/      parquet: (doc_id, content_sha256, analyzer_version,
-                       status) — the `analyzed` flag + upsert key analogue
-                       (src/library.rs:512-516)
-        errors/        parquet failure ledger (src/library.rs:1639-1668)
+        config.json      engine config + corpus stats + versions + the
+                         ordered ``segments`` list this snapshot references
+                         (the BaseConfig analogue, /root/reference/src/
+                         library.rs:263-281)
+        metrics.json     build metrics (docs/sec, postings/sec, skew ratio —
+                         the progress-counter analogue, src/library.rs:1204-1287)
+        term_stats/      parquet (vocab-sized, rewritten per snapshot)
+        packed/          parquet partitioned by doc shard (WAND path);
+                         shards untouched by an incremental update are
+                         HARD-LINKED from the previous snapshot, not rewritten
+        doc_map/         parquet (one row per shard; ordinal translation)
+        tombstones/      parquet (doc_id, before_seq): doc_id's rows are
+                         dead in every segment with seq < before_seq —
+                         the Iceberg delete-file analogue; how an update
+                         "removes" rows from immutable old segments
       _checkpoints/
-        tokenized/     appended per build batch; the resumable intermediate
-                       (SURVEY.md §4.4: per-partition checkpoints w/ lineage)
+        tokenized/       appended per build batch; the resumable intermediate
+                         (SURVEY.md §4.4: per-partition checkpoints w/ lineage)
+
+Logical frames ``postings / doc_stats / manifest / errors / positional`` are
+VIEWS: the union of the referenced segments with the tombstone anti-filter
+applied (a broadcast-size join — tombstones grow with churn, not corpus, and
+compaction via build_full resets them).  This is what makes incremental
+updates O(delta): a new batch writes ONE new segment + small snapshot
+frames + repacks only the doc-shards it touched.
 
 A reader always goes through CURRENT, so a killed writer leaves the store on
 the previous snapshot (the transactional-upsert semantics of the reference's
@@ -36,11 +54,29 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bliss_rs_spark.config import IndexConfig
 
-FRAMES = ("doc_stats", "postings", "term_stats", "packed", "doc_map",
-          "positional", "manifest", "errors")
+SEGMENT_FRAMES = ("postings", "doc_stats", "manifest", "errors", "positional")
+SNAPSHOT_FRAMES = ("term_stats", "packed", "doc_map", "tombstones")
+FRAMES = SEGMENT_FRAMES + SNAPSHOT_FRAMES
+
+TOMBSTONE_SCHEMA = "doc_id long, before_seq int"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recursively hard-link src into dst (same filesystem by construction:
+    both live under the store root).  Carrying a parquet partition forward
+    costs one inode link per file — no data movement, and deleting the old
+    snapshot later just drops link counts."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.scandir(src):
+        d = os.path.join(dst, entry.name)
+        if entry.is_dir():
+            _link_tree(entry.path, d)
+        else:
+            os.link(entry.path, d)
 
 
 class IndexStore:
@@ -85,18 +121,110 @@ class IndexStore:
     def config(self) -> IndexConfig:
         return IndexConfig.from_json(json.dumps(self.meta()["config"]))
 
+    @staticmethod
+    def seg_seq(seg_name: str) -> int:
+        return int(seg_name.split("_")[1])
+
     def load(self, spark: SparkSession, frame: str) -> DataFrame:
+        """Logical frame of the CURRENT snapshot.
+
+        Snapshot frames read straight from the snapshot dir.  Segment frames
+        are assembled as the union of the referenced segments with the
+        tombstone filter applied: a row of segment seq s survives unless a
+        tombstone (doc_id, before_seq) with s < before_seq covers it.  The
+        tombstone join is broadcast-size (churned docs, not corpus)."""
         assert frame in FRAMES, frame
-        return spark.read.parquet(os.path.join(self.snapshot_dir(), frame))
+        meta = self.meta()
+        if "segments" not in meta:  # layout-1 snapshot (pre-segment store)
+            return spark.read.parquet(os.path.join(self.snapshot_dir(), frame))
+        if frame in SNAPSHOT_FRAMES:
+            return spark.read.parquet(os.path.join(self.snapshot_dir(), frame))
+        parts = None
+        for seg in meta["segments"]:
+            p = os.path.join(self.segments_dir, seg, frame)
+            if not os.path.isdir(p):
+                continue
+            df = spark.read.parquet(p).withColumn(
+                "_seg_seq", F.lit(self.seg_seq(seg))
+            )
+            parts = df if parts is None else parts.unionByName(df)
+        if parts is None:
+            raise FileNotFoundError(
+                f"frame {frame} exists in no referenced segment of {self.path}"
+            )
+        tomb = self.load(spark, "tombstones")
+        return (
+            parts.join(F.broadcast(tomb), "doc_id", "left")
+            .filter(
+                F.col("before_seq").isNull()
+                | (F.col("_seg_seq") >= F.col("before_seq"))
+            )
+            .drop("before_seq", "_seg_seq")
+        )
 
     # --- write -----------------------------------------------------------------
 
-    def commit_snapshot(self, frames: dict[str, DataFrame], meta: dict,
-                        metrics: dict | None = None) -> str:
-        """Write all frames to a staging dir, then atomically flip CURRENT.
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.path, "segments")
 
-        A crash at any point before the final os.replace leaves the previous
-        snapshot fully intact and readable.
+    def segments(self) -> list[str]:
+        d = self.segments_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(s for s in os.listdir(d) if s.startswith("seg_"))
+
+    def next_segment_name(self) -> str:
+        hi = max((self.seg_seq(s) for s in self.segments()), default=0)
+        return f"seg_{hi + 1:06d}"
+
+    def write_segment(self, frames: dict[str, DataFrame], name: str | None = None) -> str:
+        """Write one immutable segment (staged, then atomically renamed).
+
+        Orphaned segments from a crash-before-commit are invisible (no
+        snapshot references them) and collected by gc()."""
+        name = name or self.next_segment_name()
+        os.makedirs(self.segments_dir, exist_ok=True)
+        stage = os.path.join(self.segments_dir, f"_staging_{name}")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage)
+        try:
+            for fname, df in frames.items():
+                assert fname in SEGMENT_FRAMES, fname
+                out = os.path.join(stage, fname)
+                if fname in ("postings", "positional") and "term_bucket" in df.columns:
+                    df.sortWithinPartitions("term", "doc_id").write.mode(
+                        "overwrite"
+                    ).partitionBy("term_bucket").parquet(out)
+                elif fname == "errors":
+                    # one task guaranteed -> an empty ledger still writes a
+                    # schema-bearing file
+                    df.repartition(1).write.mode("overwrite").parquet(out)
+                else:
+                    df.write.mode("overwrite").parquet(out)
+            final = os.path.join(self.segments_dir, name)
+            os.replace(stage, final)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        return name
+
+    def commit_snapshot(
+        self,
+        frames: dict[str, DataFrame],
+        meta: dict,
+        metrics: dict | None = None,
+        carry_packed: tuple[str, list[int]] | None = None,
+    ) -> str:
+        """Write snapshot frames to a staging dir, hard-link carried packed
+        shards from a previous snapshot, then atomically flip CURRENT.
+
+        ``carry_packed=(from_snapshot, shard_ids)`` links each
+        ``packed/shard=N`` partition dir from the old snapshot instead of
+        rewriting it — the incremental-update move: untouched shards cost
+        inode links, not I/O.  A crash at any point before the final
+        os.replace leaves the previous snapshot fully intact and readable.
         """
         name = self._next_snapshot_name()
         stage = os.path.join(self.path, f"_staging_{name}")
@@ -105,27 +233,27 @@ class IndexStore:
         os.makedirs(stage)
         try:
             for fname, df in frames.items():
-                assert fname in FRAMES, fname
+                assert fname in SNAPSHOT_FRAMES, fname
                 out = os.path.join(stage, fname)
-                if fname in ("errors", "manifest", "term_stats"):
-                    # guarantee at least one task so an empty frame still
-                    # writes a schema-bearing parquet file (AQE can coalesce
-                    # an empty shuffle to zero partitions otherwise)
-                    df = df.coalesce(1) if fname == "errors" else df
-                writer = df.write.mode("overwrite")
-                if fname == "postings" and "term_bucket" in df.columns:
-                    writer = df.sortWithinPartitions("term", "doc_id").write.mode(
+                if fname == "packed" and "shard" in df.columns:
+                    df.sortWithinPartitions("term").write.mode(
                         "overwrite"
-                    ).partitionBy("term_bucket")
-                elif fname == "positional" and "term_bucket" in df.columns:
-                    writer = df.sortWithinPartitions("term", "doc_id").write.mode(
-                        "overwrite"
-                    ).partitionBy("term_bucket")
-                elif fname == "packed" and "shard" in df.columns:
-                    writer = df.sortWithinPartitions("term").write.mode(
-                        "overwrite"
-                    ).partitionBy("shard")
-                writer.parquet(out)
+                    ).partitionBy("shard").parquet(out)
+                elif fname == "tombstones":
+                    # one task guaranteed -> empty tombstones still write a
+                    # schema-bearing file
+                    df.repartition(1).write.mode("overwrite").parquet(out)
+                else:
+                    df.write.mode("overwrite").parquet(out)
+            if carry_packed is not None:
+                from_snap, shard_ids = carry_packed
+                src_root = os.path.join(self.path, from_snap, "packed")
+                dst_root = os.path.join(stage, "packed")
+                os.makedirs(dst_root, exist_ok=True)
+                for sid in shard_ids:
+                    src = os.path.join(src_root, f"shard={sid}")
+                    if os.path.isdir(src):
+                        _link_tree(src, os.path.join(dst_root, f"shard={sid}"))
             with open(os.path.join(stage, "config.json"), "w") as f:
                 json.dump(meta, f, indent=2, sort_keys=True)
             with open(os.path.join(stage, "metrics.json"), "w") as f:
@@ -141,6 +269,9 @@ class IndexStore:
         os.replace(tmp, os.path.join(self.path, "CURRENT"))
         return name
 
+    def empty_tombstones(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], TOMBSTONE_SCHEMA)
+
     # --- maintenance ------------------------------------------------------------
 
     def snapshots(self) -> list[str]:
@@ -149,9 +280,16 @@ class IndexStore:
             if d.startswith("v") and d[1:].isdigit()
         )
 
+    def _meta_of(self, snapshot: str) -> dict:
+        with open(os.path.join(self.path, snapshot, "config.json")) as f:
+            return json.load(f)
+
     def gc(self, keep_last: int = 2) -> list[str]:
         """Expire old snapshots (Iceberg expire_snapshots analogue), never
-        touching CURRENT or anything newer than the retention window."""
+        touching CURRENT or anything newer than the retention window, then
+        drop segments no kept snapshot references (incl. staging orphans).
+        Hard-linked packed files survive as long as any kept snapshot links
+        them."""
         cur = self.current_snapshot()
         snaps = self.snapshots()
         keep = set(snaps[-keep_last:])
@@ -162,6 +300,19 @@ class IndexStore:
             if s not in keep:
                 shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
                 removed.append(s)
+        referenced: set[str] = set()
+        for s in keep:
+            try:
+                referenced.update(self._meta_of(s).get("segments", []))
+            except FileNotFoundError:
+                pass
+        if os.path.isdir(self.segments_dir):
+            for seg in os.listdir(self.segments_dir):
+                if seg not in referenced:
+                    shutil.rmtree(
+                        os.path.join(self.segments_dir, seg), ignore_errors=True
+                    )
+                    removed.append(f"segments/{seg}")
         return removed
 
     # --- tokenize checkpoint (resumability) --------------------------------------

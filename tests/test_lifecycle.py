@@ -58,6 +58,7 @@ def test_incremental_skip_and_upsert(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     docs_a = _docs(spark, 120)
     build_full(spark, docs_a, store, CFG, checkpoint=False)
+    epoch_avgdl = store.meta()["avgdl"]
 
     # second batch: same corpus + 30 new docs -> only 30 processed
     docs_b = _docs(spark, 150)
@@ -69,11 +70,93 @@ def test_incremental_skip_and_upsert(spark, tmp_path):
     assert m["docs_processed"] == 30
     assert m["docs_skipped"] == 120
     assert store.meta()["n_docs"] == 150
+    # the update pins the epoch avgdl; the exact running value is tracked
+    assert store.meta()["avgdl"] == epoch_avgdl
+    assert store.meta()["avgdl_exact"] != epoch_avgdl
 
-    # updated snapshot must answer queries exactly like a from-scratch build
+    # updated snapshot must equal a from-scratch build with the same pinned
+    # avgdl — including byte-identical packed blocks in EVERY shard
     store2 = IndexStore(str(tmp_path / "idx2"))
-    build_full(spark, docs_b, store2, CFG, checkpoint=False)
+    build_full(spark, docs_b, store2, CFG, checkpoint=False, avgdl_override=epoch_avgdl)
     assert _canon_snapshot(spark, store) == _canon_snapshot(spark, store2)
+
+
+def test_incremental_update_is_o_delta(spark, tmp_path):
+    """THE scale property: a small delta rewrites only the doc-shards it
+    touches.  Untouched packed partitions in the new snapshot are hard links
+    of the previous snapshot's files (same inode — zero bytes written), the
+    old segments are never rewritten, and only one new (delta-sized) segment
+    appears."""
+    import json
+    import os
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=16, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 300)
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    v1 = store.current_snapshot()
+    seg1 = store.meta()["segments"]
+
+    def inodes(snapshot):
+        out = {}
+        root = os.path.join(store.path, snapshot, "packed")
+        for shard_dir in os.listdir(root):
+            if not shard_dir.startswith("shard="):
+                continue
+            d = os.path.join(root, shard_dir)
+            out[shard_dir] = {
+                f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")
+            }
+        return out
+
+    seg1_mtimes = {
+        f: os.stat(os.path.join(store.segments_dir, seg1[0], "postings", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(store.segments_dir, seg1[0], "postings"))
+    }
+    ino_before = inodes(v1)
+
+    # delta: 5 changed docs + 10 new docs
+    docs_b = _docs(spark, 310).withColumn(
+        "content",
+        F.when(F.col("doc_id") % 60 == 0, F.concat(F.col("content"), F.lit("\nzzdeltazz")))
+        .otherwise(F.col("content")),
+    ).drop("doc_id", "content_sha256")
+    update_index(spark, docs_b, store, cfg)
+    v2 = store.current_snapshot()
+
+    with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_shards_repacked"] + m["n_shards_carried"] >= 16
+    assert m["n_shards_carried"] > 0, "a 15-doc delta must not touch every shard"
+
+    # every carried shard is hard-linked: identical inodes, no data written
+    ino_after = inodes(v2)
+    carried = 0
+    for shard_dir, files in ino_after.items():
+        if shard_dir in ino_before and files == ino_before[shard_dir]:
+            carried += 1
+    assert carried == m["n_shards_carried"]
+
+    # the original segment was not touched (same files, same mtimes)
+    seg1_mtimes_after = {
+        f: os.stat(os.path.join(store.segments_dir, seg1[0], "postings", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(store.segments_dir, seg1[0], "postings"))
+    }
+    assert seg1_mtimes_after == seg1_mtimes
+    assert len(store.meta()["segments"]) == 2
+
+    # and the result is STILL exactly a pinned-avgdl full rebuild
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(
+        spark,
+        docs_b,
+        fresh,
+        cfg,
+        checkpoint=False,
+        avgdl_override=store.meta()["avgdl"],
+    )
+    assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)
 
 
 def test_update_modified_content(spark, tmp_path):
