@@ -340,10 +340,24 @@ def kmeans_codebook(
             work, len(cents), seed, cents.shape[1], vec_col="_vn", id_col="_id",
             centroids=cents,
         )
+        # deterministic mean: fold member values in sorted-id order (a plain
+        # F.sum's float addition order follows partitioning, which would make
+        # the codebook depend on how the input happened to be split)
         sums = (
-            assigned.select("cell", F.posexplode("_vn").alias("pos", "x"))
+            assigned.select("cell", "_id", F.posexplode("_vn").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_id").alias("i"), F.col("x").alias("x"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = cents.copy()

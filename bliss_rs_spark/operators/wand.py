@@ -288,6 +288,164 @@ def wand_topk(
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+class WandServer:
+    """Low-latency serving mode: warm top-k in ONE shuffle-free Spark job.
+
+    The batch path (wand_topk) pays a groupBy('shard') shuffle plus a merge
+    job per query — fine for batch scoring, ~seconds of scheduling for a
+    single query.  The server instead:
+
+    - caches the packed frame ONCE with file-splitting disabled, so every
+      ``shard=N`` parquet file (one file per shard by construction: the pack
+      writer owns each shard in exactly one task) lands whole in one cached
+      partition — verified at warm-up, with an automatic fallback to the
+      shuffle path if the invariant ever fails;
+    - collects the vocab-sized idf table and the per-shard doc maps to the
+      driver once (both are index metadata, not corpus data);
+    - per query: filter(term isin ...) over the cached partitions ->
+      mapInPandas runs the SAME _wand_shard kernel per complete shard ->
+      collect of (shards x k) rows -> exact driver merge.  No shuffle, no
+      window, one stage.
+
+    Latency target (BENCH/BASELINE.md): <500ms warm top-10 on the 1M-doc
+    store, vs ~3.3s through the batch path.  Rank-identical to wand_topk
+    (same kernel, same tie-breaks; tested).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        packed: DataFrame,
+        term_stats: DataFrame,
+        avgdl: float,
+        cfg: IndexConfig | None = None,
+        doc_map: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+        self.avgdl = float(avgdl)
+        # idf lookup: vocab-sized driver dict — index metadata, not corpus
+        self.idfs = {
+            r["term"]: float(r["idf"])
+            for r in term_stats.select("term", "idf").collect()
+        }
+        self.doc_maps: dict[int, np.ndarray] | None = None
+        if doc_map is not None:
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            self.doc_maps = {
+                int(r["shard"]): decode_doc_ids(bytes(r["doc_ids"]))
+                for r in doc_map.collect()
+            }
+
+        # cache with splitting disabled so each shard file stays whole
+        conf = spark.conf
+        old_max = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
+        try:
+            conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+            conf.set("spark.sql.files.openCostInBytes", "0")
+            self.packed = packed.persist()
+            # warm-up + invariant check in one job: every shard wholly in
+            # one partition (file-merging keeps files whole; only a SPLIT
+            # file could break shard completeness)
+            placement = (
+                self.packed.groupBy(
+                    F.spark_partition_id().alias("pid"), "shard"
+                )
+                .count()
+                .groupBy("shard")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            self.single_stage = placement == 0
+        finally:
+            conf.set("spark.sql.files.maxPartitionBytes", old_max)
+            conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    @classmethod
+    def from_store(cls, spark: SparkSession, store) -> "WandServer":
+        meta = store.meta()
+        cfg_s = store.config()
+        return cls(
+            spark,
+            store.load(spark, "packed"),
+            store.load(spark, "term_stats"),
+            meta["avgdl"],
+            cfg_s,
+            store.load(spark, "doc_map") if cfg_s.ordinal_docids else None,
+        )
+
+    def query(self, query_text: str, k: int = 10, lang: str | None = None):
+        """-> [(doc_id, score)] exact top-k, rank-identical to wand_topk."""
+        terms = query_terms(query_text, lang, self.cfg)
+        idfs = {t: self.idfs[t] for t in terms if t in self.idfs}
+        if not idfs:
+            return []
+        if not self.single_stage:  # fallback: the exact shuffle path
+            rows = wand_topk(
+                self.spark, self.packed, self._ts_df(idfs), self.avgdl,
+                query_text, k, self.cfg, lang, self._dm_df(),
+            ).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+        k1, b, avgdl, kk = self.cfg.k1, self.cfg.b, self.avgdl, k
+        doc_maps = self.doc_maps
+
+        def kernel(batches):
+            by_shard: dict[int, list] = {}
+            for pdf in batches:
+                for shard, term, blocks in zip(
+                    pdf["shard"], pdf["term"], pdf["blocks"]
+                ):
+                    by_shard.setdefault(int(shard), []).append((term, blocks))
+            out = {"doc_id": [], "score": []}
+            for shard, rows in by_shard.items():
+                rows.sort(key=lambda r: r[0])
+                top = _wand_shard(
+                    [(list(blocks), idfs[t]) for t, blocks in rows],
+                    kk, k1, b, avgdl,
+                )
+                ids = doc_maps.get(shard) if doc_maps is not None else None
+                for d, s in top:
+                    out["doc_id"].append(int(ids[d]) if ids is not None else d)
+                    out["score"].append(s)
+            yield pd.DataFrame(out)
+
+        partials = (
+            self.packed.filter(F.col("term").isin(list(idfs)))
+            .mapInPandas(kernel, "doc_id long, score double")
+            .collect()
+        )
+        merged = sorted(
+            ((float(r["score"]), int(r["doc_id"])) for r in partials),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        return [(d, s) for s, d in merged]
+
+    def _ts_df(self, idfs: dict) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(t, v) for t, v in self.idfs.items()], "term string, idf double"
+        )
+
+    def _dm_df(self) -> DataFrame | None:
+        if self.doc_maps is None:
+            return None
+        from bliss_rs_spark.functions.codec import encode_doc_ids
+
+        return self.spark.createDataFrame(
+            [
+                (s, len(ids), bytearray(encode_doc_ids(ids)))
+                for s, ids in self.doc_maps.items()
+            ],
+            "shard int, n_docs int, doc_ids binary",
+        )
+
+    def close(self):
+        self.packed.unpersist()
+
+
 def wand_topk_batch(
     spark: SparkSession,
     packed: DataFrame,

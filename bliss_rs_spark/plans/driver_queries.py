@@ -1331,6 +1331,30 @@ SELECT source AS repo FROM documents WHERE lang = 'zh'
 """
 
 
+def q_custom_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable-scorer top-k (F6: playlist_from_custom,
+    /root/reference/src/library.rs:805-842): a user-supplied Column scorer —
+    here 2*alnum_ratio + ln(n_chars) — ranked through the generic topk()
+    operator (TakeOrderedAndProject, JVM-side scoring)."""
+    from bliss_rs_spark.operators.topk import topk
+
+    docs = _docs(spark, sf_dir)
+    e = quality_exprs_spark("text")
+    scorer = F.expr(e["alnum_ratio"]) * F.lit(2.0) + F.log(F.col("n_chars").cast("double"))
+    return topk(docs, scorer, 15, id_col="doc_id").select(
+        "doc_id", _r6(F.col("score")).alias("score_r")
+    )
+
+
+def _oracle_custom_topk() -> str:
+    e = quality_exprs_duckdb("text")
+    s = f"({e['alnum_ratio']}) * 2.0 + ln(n_chars::double)"
+    return f"""
+SELECT doc_id, round({s}, 6) AS score_r
+FROM documents ORDER BY {s} DESC, doc_id ASC LIMIT 15
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -1376,4 +1400,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
         "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS),
         "except_langs": (q_except_langs, ORACLE_EXCEPT_LANGS),
+        "custom_topk": (q_custom_topk, _oracle_custom_topk()),
     }
