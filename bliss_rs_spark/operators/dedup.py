@@ -145,7 +145,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = with_shingles(docs, content_col, n).select("doc_id", "shingles")
+    # verify with HASHED shingle sets: ship int64 md5 slices to the candidate
+    # join instead of raw shingle strings — ~an order of magnitude less
+    # payload per doc at corpus scale, same Jaccard (shingles are distinct;
+    # the identical hashing is replayed in the DuckDB oracle, so parity stays
+    # bit-exact even in the astronomically-unlikely collision case)
+    hash_arr = f"transform(shingles, s -> {md5_int64_spark('s')})"
+    sh = with_shingles(docs, content_col, n).select(
+        "doc_id", F.expr(hash_arr).alias("shingles")
+    )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")

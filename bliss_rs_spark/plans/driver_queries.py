@@ -364,7 +364,7 @@ sig AS ({unpivot}),
 """
 
 
-ORACLE_MINHASH_LSH = _minhash_lsh_prefix() + """
+ORACLE_MINHASH_LSH = _minhash_lsh_prefix() + f"""
 bands AS (
   SELECT doc_id, (perm // 2) AS band,
          string_agg(minhash::varchar, '_' ORDER BY minhash) AS bkey
@@ -375,12 +375,13 @@ cand AS (
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
   WHERE x.doc_id < y.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+hsh AS (SELECT DISTINCT doc_id, {md5_int64_duckdb("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS c
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN hsh a ON a.doc_id = c.doc_a
+  JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,

@@ -483,6 +483,63 @@ def update_index(
     return name
 
 
+def migrate(
+    spark: SparkSession,
+    store: IndexStore,
+    new_cfg: IndexConfig,
+    docs: DataFrame | None = None,
+) -> str:
+    """Move a store to a newer analyzer_version — the reference's ordered
+    in-place migration chain (/root/reference/src/library.rs:530-591, applied
+    at :631-681) expressed as snapshots:
+
+    - source rows come from the tokenize CHECKPOINT (which retains the raw
+      content columns), restricted to the manifest's live ok docs — no
+      re-supplying of the corpus needed; pass ``docs`` to migrate a store
+      built without checkpoints (or to also retry previously-failed docs,
+      which have no usable checkpoint content)
+    - the rebuild itself checkpoints under the NEW version, so a migration
+      killed halfway resumes without re-tokenizing what it already did
+      (the checkpoint anti-join is version-aware)
+    - stale old-version checkpoint rows are GC'd afterwards — previously they
+      accumulated forever
+
+    Downgrades are refused (like the reference, which only walks the
+    migration list forward); equal versions are a no-op.
+    """
+    meta = store.meta()
+    old_v, new_v = int(meta["analyzer_version"]), int(new_cfg.analyzer_version)
+    if new_v == old_v:
+        return store.current_snapshot()
+    if new_v < old_v:
+        raise ValueError(
+            f"store is at analyzer_version={old_v}; refusing to downgrade to "
+            f"{new_v} (migrations only move forward)"
+        )
+    if docs is None:
+        ckpt = store.load_checkpoint(spark)
+        if ckpt is None:
+            raise ValueError(
+                "store has no tokenize checkpoint to migrate from; re-run "
+                "migrate(..., docs=<corpus>) with the document source"
+            )
+        live = store.load(spark, "manifest").filter(
+            (F.col("status") == "ok") & (F.col("analyzer_version") == old_v)
+        ).select("doc_id", "content_sha256")
+        docs = (
+            ckpt.filter(F.col("analyzer_version") == old_v)
+            .select(
+                "repo", "path", "commit", "lang", "content",
+                "doc_id", "content_sha256",
+            )
+            .join(live, ["doc_id", "content_sha256"], "left_semi")
+            .dropDuplicates(["doc_id", "content_sha256"])
+        )
+    name = build_full(spark, docs, store, new_cfg, checkpoint=True)
+    store.gc_checkpoint(spark, keep_version=new_v)
+    return name
+
+
 def query_index(
     spark: SparkSession,
     store: IndexStore,

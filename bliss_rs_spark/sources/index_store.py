@@ -338,6 +338,25 @@ class IndexStore:
     def clear_checkpoint(self) -> None:
         shutil.rmtree(os.path.join(self.path, "_checkpoints"), ignore_errors=True)
 
+    def gc_checkpoint(self, spark: SparkSession, keep_version: int,
+                      target_partitions: int = 32) -> None:
+        """Drop checkpoint rows of analyzer versions other than
+        ``keep_version`` (post-migration cleanup: stale-version rows are
+        never read again but would otherwise accumulate forever).  Atomic
+        like compact_checkpoint."""
+        ckpt = self.load_checkpoint(spark)
+        if ckpt is None:
+            return
+        kept = ckpt.filter(F.col("analyzer_version") == keep_version)
+        tmp = self.checkpoint_dir + "_gc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.repartition(target_partitions).write.parquet(tmp)
+        old = self.checkpoint_dir + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.checkpoint_dir, old)
+        os.replace(tmp, self.checkpoint_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
     def compact_checkpoint(self, spark: SparkSession, target_partitions: int = 32) -> None:
         """Rewrite the append-accumulated checkpoint into ``target_partitions``
         files (small-file compaction, the Iceberg rewrite_data_files
