@@ -4,9 +4,11 @@
   index over the documents table and answer the reference-style query set
   with batched exhaustive BM25.
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
-  SURVEY.md §2, backed by bliss_rs_spark.plans.driver_queries (each Spark
-  callable has an exactly-mirrored DuckDB SQL string unless its operator is
-  seeded-NumPy-based, in which case the driver records a rows-only check).
+  SURVEY.md §2, backed by bliss_rs_spark.plans.driver_queries.  EVERY Spark
+  callable has an exactly-mirrored DuckDB SQL string — seeded-NumPy constants
+  (LSH planes, IVF codebook, model weights) are emitted into the SQL as
+  literal double arrays and replayed with identical sequential float64
+  arithmetic.
 """
 
 from __future__ import annotations

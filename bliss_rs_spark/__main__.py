@@ -43,6 +43,17 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--index", required=True)
     u.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
     u.add_argument("--delete-missing", action="store_true")
+    u.add_argument("--repack", default="merge", choices=["merge", "segment"],
+                   help="packed policy: merge = repack touched shards "
+                        "(read-optimized, hard-links the rest); segment = "
+                        "pack only the delta as its own unit (zero rewrites)")
+
+    mg = sub.add_parser("migrate", help="re-analyze the store at a newer analyzer_version")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--analyzer-version", type=int, required=True)
+    mg.add_argument("--source", default=None,
+                    help="document source (only needed if the store has no checkpoint)")
+    mg.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
 
     q = sub.add_parser("query", help="top-k BM25 query against the CURRENT snapshot")
     q.add_argument("--index", required=True)
@@ -113,13 +124,29 @@ def main(argv: list[str] | None = None) -> int:
                 # inherit the index's persisted config (positions, ordinals,
                 # analyzer version) rather than the CLI default
                 name = update_index(
-                    spark, docs, store, None, delete_missing=args.delete_missing
+                    spark, docs, store, None,
+                    delete_missing=args.delete_missing, repack=args.repack,
                 )
             import os
 
             with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
                 metrics = json.load(f)
             print(json.dumps({"snapshot": name, **metrics}))
+            return 0
+
+        if args.cmd == "migrate":
+            from dataclasses import replace
+
+            from bliss_rs_spark.plans.lifecycle import migrate
+
+            new_cfg = replace(store.config(), analyzer_version=args.analyzer_version)
+            docs = None
+            if args.source:
+                from bliss_rs_spark.sources.documents import load_documents
+
+                docs = load_documents(spark, args.source, args.format)
+            name = migrate(spark, store, new_cfg, docs=docs)
+            print(json.dumps({"snapshot": name, "analyzer_version": args.analyzer_version}))
             return 0
 
         if args.cmd == "query":

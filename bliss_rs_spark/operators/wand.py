@@ -38,11 +38,18 @@ from bliss_rs_spark.operators.bm25 import query_terms
 
 
 class _Cursor:
-    """One term's posting cursor within a shard: lazy block decode + seek."""
+    """One term's posting cursor within a shard: lazy block decode + seek.
 
-    __slots__ = ("blocks", "idf", "ub", "bi", "i", "docs", "tscs", "cur")
+    ``dead`` (sorted int64 array, same id space as the blocks) drops
+    tombstoned docs at decode time — how segment-packed units exclude
+    superseded/deleted docs without rewriting old blocks.  Block metadata
+    (first/last_doc, max_tsc) stays valid: deletion only shrinks a block, so
+    bounds remain bounds and skipping stays safe."""
 
-    def __init__(self, blocks, idf: float, k1: float, b: float, avgdl: float):
+    __slots__ = ("blocks", "idf", "ub", "bi", "i", "docs", "tscs", "cur", "dead")
+
+    def __init__(self, blocks, idf: float, k1: float, b: float, avgdl: float,
+                 dead: np.ndarray | None = None):
         # blocks: list of dict-like rows (first_doc, last_doc, n, max_tsc, docs, tfs, dls)
         self.blocks = blocks
         self.idf = idf
@@ -51,19 +58,36 @@ class _Cursor:
         self.i = 0
         self.docs = None
         self.tscs = None
+        self.dead = dead if dead is not None and len(dead) else None
         self.cur = math.inf
-        self._decode()
-        self.cur = int(self.docs[0])
+        if self._load(0):
+            self.cur = int(self.docs[0])
 
-    def _decode(self):
+    def _load(self, bi: int) -> bool:
+        """Decode block bi, skipping forward past blocks emptied by the dead
+        filter.  Returns False (cursor exhausted, cur=inf) if none remain."""
         from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
 
-        bl = self.blocks[self.bi]
-        self.docs = decode_doc_ids(bl["docs"])
-        tf = varbyte_decode(bl["tfs"]).astype(np.float64)
-        dl = varbyte_decode(bl["dls"]).astype(np.float64)
-        self.tscs = tf * self._k1p1 / (tf + self._k1 * (self._b1 + self._bb * dl))
-        self.i = 0
+        nb = len(self.blocks)
+        while bi < nb:
+            bl = self.blocks[bi]
+            docs = decode_doc_ids(bl["docs"])
+            tf = varbyte_decode(bl["tfs"]).astype(np.float64)
+            dl = varbyte_decode(bl["dls"]).astype(np.float64)
+            if self.dead is not None:
+                alive = ~np.isin(docs, self.dead, assume_unique=False)
+                if not alive.all():
+                    docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            if len(docs):
+                self.bi = bi
+                self.docs = docs
+                self.tscs = tf * self._k1p1 / (tf + self._k1 * (self._b1 + self._bb * dl))
+                self.i = 0
+                return True
+            bi += 1
+        self.bi = nb
+        self.cur = math.inf
+        return False
 
     # class-level scoring constants, set once per shard run (set_params)
     _k1 = 1.2
@@ -86,34 +110,39 @@ class _Cursor:
         if self.i < len(self.docs):
             self.cur = int(self.docs[self.i])
             return
-        self.bi += 1
-        if self.bi >= len(self.blocks):
-            self.cur = math.inf
-            return
-        self._decode()
-        self.cur = int(self.docs[0])
+        if self._load(self.bi + 1):
+            self.cur = int(self.docs[0])
 
     def seek(self, d: int):
-        """Position at the first doc >= d, skipping whole blocks undecoded."""
+        """Position at the first LIVE doc >= d, skipping whole blocks
+        undecoded via their last_doc metadata (valid even when trailing docs
+        are dead: a stale bound only costs one extra decode, never a skip
+        past a live doc)."""
         if self.cur >= d:  # also covers the exhausted (inf) cursor
             return
         if d <= int(self.blocks[self.bi]["last_doc"]):
             j = int(np.searchsorted(self.docs, d, side="left"))
-            self.i = j
-            self.cur = int(self.docs[j])
-            return
-        bi = self.bi + 1
+            if j < len(self.docs):
+                self.i = j
+                self.cur = int(self.docs[j])
+                return
+            bi = self.bi + 1  # live tail of this block was all dead
+        else:
+            bi = self.bi + 1
         nb = len(self.blocks)
-        while bi < nb and int(self.blocks[bi]["last_doc"]) < d:
-            bi += 1
-        self.bi = bi
-        if bi >= nb:
-            self.cur = math.inf
-            return
-        self._decode()
-        j = int(np.searchsorted(self.docs, d, side="left"))
-        self.i = j
-        self.cur = int(self.docs[j])
+        while True:
+            while bi < nb and int(self.blocks[bi]["last_doc"]) < d:
+                bi += 1
+            if bi >= nb or not self._load(bi):
+                self.bi = nb
+                self.cur = math.inf
+                return
+            j = int(np.searchsorted(self.docs, d, side="left"))
+            if j < len(self.docs):
+                self.i = j
+                self.cur = int(self.docs[j])
+                return
+            bi = self.bi + 1  # all live docs here are < d; try next block
 
     def block_last(self) -> int:
         return int(self.blocks[self.bi]["last_doc"])
@@ -122,7 +151,8 @@ class _Cursor:
         return self.idf * float(self.blocks[self.bi]["max_tsc"])
 
 
-def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: float):
+def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: float,
+                      dead: np.ndarray | None = None):
     """Vectorized single-term top-k: the doc-at-a-time loop degenerates to a
     full scan for one term, so instead score whole blocks with NumPy and
     skip any block whose upper bound is STRICTLY below the running k-th
@@ -139,6 +169,12 @@ def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: fl
         docs = decode_doc_ids(bl["docs"])
         tf = varbyte_decode(bl["tfs"]).astype(np.float64)
         dl = varbyte_decode(bl["dls"]).astype(np.float64)
+        if dead is not None and len(dead):
+            alive = ~np.isin(docs, dead)
+            if not alive.all():
+                docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                if not len(docs):
+                    continue
         sc = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
         best_docs = np.concatenate([best_docs, docs])
         best_scores = np.concatenate([best_scores, sc])
@@ -153,12 +189,17 @@ def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: fl
     return [(int(best_docs[i]), float(best_scores[i])) for i in order]
 
 
-def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float):
-    """rows: [(blocks, idf)] per query term present in this shard."""
+def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float,
+                dead: np.ndarray | None = None):
+    """rows: [(blocks, idf)] per query term present in this shard; ``dead`` =
+    sorted tombstoned ids (same id space as the blocks) to drop at decode."""
     if len(rows) == 1:
-        return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl)
+        return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl, dead)
     _Cursor.set_params(k1, b, avgdl)
-    cursors = [_Cursor(blocks, idf, k1, b, avgdl) for blocks, idf in rows]
+    cursors = [
+        c for c in (_Cursor(blocks, idf, k1, b, avgdl, dead) for blocks, idf in rows)
+        if c.cur != math.inf
+    ]
     heap: list[tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
 
     while True:
@@ -288,6 +329,111 @@ def wand_topk(
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def wand_topk_units(
+    spark: SparkSession,
+    units: list[tuple[int, DataFrame, DataFrame | None]],
+    term_stats: DataFrame,
+    avgdl: float,
+    query_text: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+    tombstones: dict[int, int] | None = None,
+) -> DataFrame:
+    """Exact top-k over MULTIPLE packed units (base + segment packs).
+
+    units: [(seq, packed, doc_map|None)].  A live doc's postings live wholly
+    in exactly one unit (the segment that last indexed it), so per-(unit,
+    shard) top-k + global merge is exact — the same doc-completeness argument
+    as doc-sharding, one level up.  ``tombstones`` maps doc_id ->
+    before_seq; a doc is dead in unit seq iff before_seq > seq, and dead ids
+    (translated to the unit's ordinal space when mapped) are dropped inside
+    the kernel at block-decode time.  This is the query side of
+    update_index(repack='segment'): no old block is ever rewritten.
+    """
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query_text, lang, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_rows = (
+        term_stats.filter(F.col("term").isin(terms)).select("term", "idf").collect()
+    )
+    idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    tomb = tombstones or {}
+    # per-unit dead doc_ids, precomputed once on the driver (tombstones scale
+    # with churn, not corpus) and shipped in the task closure
+    dead_by_unit = {
+        seq: np.sort(np.array(
+            [d for d, bs in tomb.items() if bs > seq], dtype=np.int64
+        ))
+        for seq, _, _ in units
+    }
+    k1, b, kk = cfg.k1, cfg.b, k
+
+    packed_u = None
+    map_u = None
+    for seq, packed, doc_map in units:
+        p = packed.withColumn("unit", F.lit(int(seq)))
+        packed_u = p if packed_u is None else packed_u.unionByName(p)
+        if doc_map is not None:
+            m = doc_map.withColumn("unit", F.lit(int(seq)))
+            map_u = m if map_u is None else map_u.unionByName(m)
+
+    pruned = packed_u.filter(F.col("term").isin(list(idfs)))
+
+    def run(pdf: pd.DataFrame, ids: np.ndarray | None, seq: int):
+        dead = dead_by_unit.get(seq)
+        if ids is not None and dead is not None and len(dead):
+            # translate dead doc_ids into this unit-shard's ordinal space
+            pos = np.searchsorted(ids, dead)
+            ok = (pos < len(ids))
+            ok[ok] = ids[pos[ok]] == dead[ok]
+            dead = np.sort(pos[ok]).astype(np.int64)
+        rows = []
+        for term in sorted(pdf["term"]):
+            sub = pdf[pdf["term"] == term]
+            rows.append((list(sub["blocks"].iloc[0]), idfs[term]))
+        top = _wand_shard(rows, kk, k1, b, avgdl, dead=dead)
+        if ids is not None:
+            top = [(int(ids[d]), s) for d, s in top]
+        return top
+
+    if map_u is None:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            top = run(pdf, None, int(pdf["unit"].iloc[0]))
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        per = pruned.groupBy("unit", "shard").applyInPandas(
+            fn, "doc_id long, score double"
+        )
+    else:
+        def fn2(key, pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0 or len(map_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            ids = decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0]))
+            top = run(pdf, ids, int(key[0]))
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        per = (
+            pruned.groupBy("unit", "shard")
+            .cogroup(map_u.groupBy("unit", "shard"))
+            .applyInPandas(fn2, "doc_id long, score double")
+        )
+
+    return per.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 class WandServer:
     """Low-latency serving mode: warm top-k in ONE shuffle-free Spark job.
 
@@ -320,23 +466,67 @@ class WandServer:
         avgdl: float,
         cfg: IndexConfig | None = None,
         doc_map: DataFrame | None = None,
+        target_partitions: int = 8,
+        units: list[tuple[int, DataFrame, DataFrame | None]] | None = None,
+        tombstones: dict[int, int] | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or IndexConfig()
         self.avgdl = float(avgdl)
+        if units is None:
+            units = [(0, packed, doc_map)]
         # idf lookup: vocab-sized driver dict — index metadata, not corpus
         self.idfs = {
             r["term"]: float(r["idf"])
             for r in term_stats.select("term", "idf").collect()
         }
-        self.doc_maps: dict[int, np.ndarray] | None = None
-        if doc_map is not None:
-            from bliss_rs_spark.functions.codec import decode_doc_ids
+        self._units = units
+        self._tomb = tombstones or {}
+        from bliss_rs_spark.functions.codec import decode_doc_ids
 
-            self.doc_maps = {
-                int(r["shard"]): decode_doc_ids(bytes(r["doc_ids"]))
-                for r in doc_map.collect()
-            }
+        self.doc_maps: dict[tuple[int, int], np.ndarray] = {}
+        for seq, _, dm in units:
+            if dm is not None:
+                for r in dm.collect():
+                    self.doc_maps[(seq, int(r["shard"]))] = decode_doc_ids(
+                        bytes(r["doc_ids"])
+                    )
+        # per-(unit, shard) dead ids in the unit's own id space (ordinals
+        # when mapped) — precomputed once on the driver, shipped in closures
+        self.dead: dict[tuple[int, int], np.ndarray] = {}
+        if self._tomb:
+            # shard assignment must match Spark's xxhash64 exactly -> one
+            # tiny Spark job over the churn-sized tombstone set at init
+            tdf = spark.createDataFrame(
+                [(int(d), int(bs)) for d, bs in self._tomb.items()],
+                "doc_id long, before_seq int",
+            )
+            shard_rows = tdf.select(
+                "doc_id", "before_seq",
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.cfg.n_doc_shards))
+                .cast("int").alias("s"),
+            ).collect()
+            shard_of: dict[int, list] = {}
+            for r in shard_rows:
+                shard_of.setdefault(int(r["s"]), []).append(
+                    (int(r["doc_id"]), int(r["before_seq"]))
+                )
+            for seq, _, dm in units:
+                for s, pairs in shard_of.items():
+                    dd = np.sort(np.array(
+                        [d for d, bs in pairs if bs > seq], dtype=np.int64
+                    ))
+                    if not len(dd):
+                        continue
+                    ids = self.doc_maps.get((seq, s))
+                    if ids is not None:
+                        pos = np.searchsorted(ids, dd)
+                        ok = pos < len(ids)
+                        ok[ok] = ids[pos[ok]] == dd[ok]
+                        dd = np.sort(pos[ok]).astype(np.int64)
+                        if not len(dd):
+                            continue
+                    self.dead[(seq, s)] = dd
 
         # cache with splitting disabled so each shard file stays whole
         conf = spark.conf
@@ -345,16 +535,25 @@ class WandServer:
         try:
             conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
             conf.set("spark.sql.files.openCostInBytes", "0")
-            self.packed = packed.persist()
-            # warm-up + invariant check in one job: every shard wholly in
-            # one partition (file-merging keeps files whole; only a SPLIT
-            # file could break shard completeness)
+            u = None
+            for seq, p, _ in units:
+                part = p.withColumn("unit", F.lit(int(seq)))
+                u = part if u is None else u.unionByName(part)
+            # coalesce MERGES file-partitions (never splits them), so shard
+            # completeness is preserved while per-query task-launch overhead
+            # drops from n_files to target_partitions
+            if target_partitions:
+                u = u.coalesce(target_partitions)
+            self.packed = u.persist()
+            # warm-up + invariant check in one job: every (unit, shard)
+            # wholly in one partition (file-merging keeps files whole; only
+            # a SPLIT file could break shard completeness)
             placement = (
                 self.packed.groupBy(
-                    F.spark_partition_id().alias("pid"), "shard"
+                    F.spark_partition_id().alias("pid"), "unit", "shard"
                 )
                 .count()
-                .groupBy("shard")
+                .groupBy("unit", "shard")
                 .count()
                 .filter(F.col("count") > 1)
                 .count()
@@ -374,7 +573,9 @@ class WandServer:
             store.load(spark, "term_stats"),
             meta["avgdl"],
             cfg_s,
-            store.load(spark, "doc_map") if cfg_s.ordinal_docids else None,
+            None,
+            units=store.packed_units(spark),
+            tombstones=store.tombstone_dict(spark),
         )
 
     def query(self, query_text: str, k: int = 10, lang: str | None = None):
@@ -384,30 +585,31 @@ class WandServer:
         if not idfs:
             return []
         if not self.single_stage:  # fallback: the exact shuffle path
-            rows = wand_topk(
-                self.spark, self.packed, self._ts_df(idfs), self.avgdl,
-                query_text, k, self.cfg, lang, self._dm_df(),
+            rows = wand_topk_units(
+                self.spark, self._units, self._ts_df(idfs), self.avgdl,
+                query_text, k, self.cfg, lang, self._tomb,
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
         k1, b, avgdl, kk = self.cfg.k1, self.cfg.b, self.avgdl, k
         doc_maps = self.doc_maps
+        dead_map = self.dead
 
         def kernel(batches):
-            by_shard: dict[int, list] = {}
+            by_us: dict[tuple[int, int], list] = {}
             for pdf in batches:
-                for shard, term, blocks in zip(
-                    pdf["shard"], pdf["term"], pdf["blocks"]
+                for unit, shard, term, blocks in zip(
+                    pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"]
                 ):
-                    by_shard.setdefault(int(shard), []).append((term, blocks))
+                    by_us.setdefault((int(unit), int(shard)), []).append((term, blocks))
             out = {"doc_id": [], "score": []}
-            for shard, rows in by_shard.items():
+            for us, rows in by_us.items():
                 rows.sort(key=lambda r: r[0])
                 top = _wand_shard(
                     [(list(blocks), idfs[t]) for t, blocks in rows],
-                    kk, k1, b, avgdl,
+                    kk, k1, b, avgdl, dead=dead_map.get(us),
                 )
-                ids = doc_maps.get(shard) if doc_maps is not None else None
+                ids = doc_maps.get(us)
                 for d, s in top:
                     out["doc_id"].append(int(ids[d]) if ids is not None else d)
                     out["score"].append(s)
@@ -427,19 +629,6 @@ class WandServer:
     def _ts_df(self, idfs: dict) -> DataFrame:
         return self.spark.createDataFrame(
             [(t, v) for t, v in self.idfs.items()], "term string, idf double"
-        )
-
-    def _dm_df(self) -> DataFrame | None:
-        if self.doc_maps is None:
-            return None
-        from bliss_rs_spark.functions.codec import encode_doc_ids
-
-        return self.spark.createDataFrame(
-            [
-                (s, len(ids), bytearray(encode_doc_ids(ids)))
-                for s, ids in self.doc_maps.items()
-            ],
-            "shard int, n_docs int, doc_ids binary",
         )
 
     def close(self):

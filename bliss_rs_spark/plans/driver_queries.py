@@ -9,7 +9,12 @@ compares row-count + schema + order-insensitive value-hash.  Conventions:
   can't tolerate last-ulp drift between two engines' summation orders)
 - ties anywhere near a LIMIT boundary are broken on a unique integer key
 - entries whose Spark side uses seeded NumPy state (LSH hyperplanes, IVF
-  codebooks) have no SQL mirror -> oracle_sql omits them (rows-only check)
+  codebooks, model weights) emit those constants into the SQL as literal
+  double arrays (repr round-trips float64 exactly) and replay the identical
+  arithmetic — every float op on both sides is a sequential float64 fold,
+  so even ties at LIMIT boundaries agree bit-for-bit
+- dedup gates union the docs with deterministic planted clones in BOTH
+  engines so a pass is never a vacuous 0 == 0
 
 The registry doubles as our local pre-flight: tests/test_driver_contract.py
 replays the driver's comparison for every pair before the driver ever does.

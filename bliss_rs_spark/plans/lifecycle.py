@@ -189,6 +189,7 @@ def _assemble_and_commit(
         "config": __import__("json").loads(cfg.to_json()),
         "layout": 2,
         "segments": [seg_name],
+        "packed_base_seq": IndexStore.seg_seq(seg_name),
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,           # the scoring/packing epoch value
@@ -239,26 +240,44 @@ def update_index(
     store: IndexStore,
     cfg: IndexConfig | None = None,
     delete_missing: bool = False,
+    repack: str = "merge",
 ) -> str:
-    """Incremental update, O(delta) in I/O and shuffle:
+    """Incremental update, O(delta) in shuffle and write:
 
     - tokenize only new/changed docs; write them as ONE new immutable segment
       (old segments are never rewritten)
     - removed/changed docs become tombstones (doc_id, before_seq) — the
       delete-file move that logically drops rows from immutable segments
-    - repack ONLY the doc-shards containing touched docs: read those shards'
-      packed partitions (partition-pruned), decode back to flat postings
-      (unpack_postings), drop removed docs, union the delta, repack.
-      Untouched ``packed/shard=N`` partitions are HARD-LINKED into the new
-      snapshot — zero I/O (asserted by inode equality in tests)
     - term_stats updated exactly and incrementally: df' = df + df(delta)
       - df(removed postings), idf recomputed for the new N over the
       vocab-sized frame
-    - avgdl stays PINNED to the store's epoch value, so untouched shards'
+    - avgdl stays PINNED to the store's epoch value, so existing blocks'
       precomputed block-max norms remain valid; the exact running value is
       tracked in meta (sum_dl / n_docs) and re-pinned by the next build_full.
-      This makes an update byte-identical (per shard) to
-      ``build_full(avgdl_override=epoch)`` on the same corpus.
+
+    Two packed-index policies (the Lucene merge-policy trade-off):
+
+    repack='merge' (default — read-optimized): repack ONLY the doc-shards
+      containing touched docs: read those shards' packed partitions
+      (partition-pruned), decode back to flat postings (unpack_postings),
+      drop removed docs, union the delta, repack.  Untouched
+      ``packed/shard=N`` partitions are HARD-LINKED into the new snapshot —
+      zero bytes written (asserted by inode equality in tests), and the
+      result is byte-identical per shard to
+      ``build_full(avgdl_override=epoch)``.  Best when deltas are small or
+      clustered; a hash-scattered delta touches ~min(|delta|, n_shards)
+      shards and pays their repack.
+
+    repack='segment' (write-optimized — streaming / scattered deltas): pack
+      ONLY the delta postings as the new segment's own unit; NO existing
+      block is read or rewritten (base packed is wholly hard-linked).
+      Queries merge per-(unit, shard) top-ks — exact because a live doc's
+      postings live wholly in the unit that last indexed it — and drop
+      tombstoned docs inside the WAND kernel at block-decode time
+      (wand_topk_units).  build_full doubles as the compaction that folds
+      units back into one base.  A 'merge' request on a store with
+      outstanding segment units auto-falls back to 'segment' (a base-only
+      merge would drop them); compact first to return to merge cadence.
 
     Upsert semantics match the reference's delete+reinsert of only the
     touched song's rows in one transaction
@@ -347,31 +366,85 @@ def update_index(
             .agg(F.max("before_seq").alias("before_seq"))
         )
 
-    # --- delta shards: unpack, drop removed, union delta, repack ---------------
-    touched = removed
-    if new_postings is not None:
-        touched = touched.unionByName(new_postings.select("doc_id").distinct()).distinct()
+    # --- packed policy ----------------------------------------------------------
+    assert repack in ("merge", "segment"), repack
+    units = store.packed_units(spark)
+    old_tomb = store.tombstone_dict(spark)
+    if repack == "merge" and len(units) > 1:
+        repack = "segment"  # outstanding segment units: see docstring
+
     shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
-    delta_shards = sorted(
-        r[0] for r in touched.select(shard_col.alias("s")).distinct().collect()
-    )
-
-    old_packed = store.load(spark, "packed").filter(F.col("shard").isin(delta_shards))
+    base_seq_old = int(meta.get("packed_base_seq", 0))
     old_doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
-    unpacked = unpack_postings(
-        old_packed,
-        old_doc_map.filter(F.col("shard").isin(delta_shards))
-        if old_doc_map is not None
-        else None,
-    ).cache()
-    removed_flat = unpacked.join(F.broadcast(removed), "doc_id", "left_semi")
-    kept_flat = unpacked.join(F.broadcast(removed), "doc_id", "left_anti")
+    to_unpersist = []
 
-    repack_input = kept_flat.select("term", "doc_id", "tf", "dl")
-    if new_postings is not None:
-        repack_input = repack_input.unionByName(
-            new_postings.select("term", "doc_id", "tf", "dl")
+    if repack == "merge":
+        # docs already tombstone-dead in the base (pure deletes of past
+        # segment-mode updates) must be dropped by this repack too, and
+        # their shards count as touched — else carried shards resurrect them
+        base_dead = [d for d, bs in old_tomb.items() if bs > base_seq_old]
+        removed_eff = removed
+        if base_dead:
+            removed_eff = removed_eff.unionByName(
+                spark.createDataFrame([(int(d),) for d in base_dead], "doc_id long")
+            ).distinct()
+        touched = removed_eff
+        if new_postings is not None:
+            touched = touched.unionByName(
+                new_postings.select("doc_id").distinct()
+            ).distinct()
+        delta_shards = sorted(
+            r[0] for r in touched.select(shard_col.alias("s")).distinct().collect()
         )
+        old_packed = store.load(spark, "packed").filter(
+            F.col("shard").isin(delta_shards)
+        )
+        unpacked = unpack_postings(
+            old_packed,
+            old_doc_map.filter(F.col("shard").isin(delta_shards))
+            if old_doc_map is not None
+            else None,
+        ).cache()
+        to_unpersist.append(unpacked)
+        removed_flat = unpacked.join(F.broadcast(removed), "doc_id", "left_semi")
+        kept_flat = unpacked.join(F.broadcast(removed_eff), "doc_id", "left_anti")
+        repack_input = kept_flat.select("term", "doc_id", "tf", "dl")
+        if new_postings is not None:
+            repack_input = repack_input.unionByName(
+                new_postings.select("term", "doc_id", "tf", "dl")
+            )
+    else:
+        # segment mode: NOTHING old is repacked.  Removed docs' postings are
+        # still needed for exact df/sum_dl deltas: decode only the removed
+        # docs' shards of each unit (partition-pruned, read-only), restricted
+        # to docs LIVE in that unit (docs dead there were already discounted
+        # when they were tombstoned).
+        delta_shards = []
+        removed_flat = None
+        if n_removed > 0:
+            rem_shards = sorted(
+                r[0] for r in removed.select(shard_col.alias("s")).distinct().collect()
+            )
+            for seq, packed_df, dm_df in units:
+                dead_ids = [d for d, bs in old_tomb.items() if bs > seq]
+                live_rem = removed
+                if dead_ids:
+                    live_rem = live_rem.filter(~F.col("doc_id").isin(dead_ids))
+                part = unpack_postings(
+                    packed_df.filter(F.col("shard").isin(rem_shards)),
+                    dm_df.filter(F.col("shard").isin(rem_shards))
+                    if dm_df is not None
+                    else None,
+                ).join(F.broadcast(live_rem), "doc_id", "left_semi")
+                removed_flat = (
+                    part if removed_flat is None else removed_flat.unionByName(part)
+                )
+            removed_flat = removed_flat.cache()
+            to_unpersist.append(removed_flat)
+        else:
+            removed_flat = spark.createDataFrame(
+                [], "shard int, term string, doc_id long, tf long, dl long"
+            )
 
     # --- exact incremental term stats -------------------------------------------
     ok_ids = done_ok.select("doc_id").distinct()
@@ -424,24 +497,45 @@ def update_index(
     ).cache()
     n_postings = int(term_stats.agg(F.sum("df")).collect()[0][0] or 0)
 
-    # --- repack only the delta shards -------------------------------------------
-    packed_delta = build_packed_index(repack_input, term_stats, n_docs, avgdl, cfg)
-    doc_map_out = None
-    if cfg.ordinal_docids:
-        sharded = repack_input.withColumn("shard", shard_col)
-        doc_map_delta = build_doc_map(sharded)
-        packed_delta = ordinalize_packed(packed_delta, doc_map_delta)
-        doc_map_out = old_doc_map.filter(
-            ~F.col("shard").isin(delta_shards)
-        ).unionByName(doc_map_delta)
-
+    # --- build the new packed data under the chosen policy ----------------------
     old_snapshot = store.current_snapshot()
     old_packed_dir = os.path.join(store.snapshot_dir(old_snapshot), "packed")
-    carry_shards = sorted(
+    base_shards = sorted(
         int(d.split("=")[1])
         for d in os.listdir(old_packed_dir)
-        if d.startswith("shard=") and int(d.split("=")[1]) not in set(delta_shards)
+        if d.startswith("shard=")
     ) if os.path.isdir(old_packed_dir) else []
+
+    doc_map_out = None
+    base_seq_new = base_seq_old
+    if repack == "merge":
+        packed_delta = build_packed_index(repack_input, term_stats, n_docs, avgdl, cfg)
+        if cfg.ordinal_docids:
+            sharded = repack_input.withColumn("shard", shard_col)
+            doc_map_delta = build_doc_map(sharded)
+            packed_delta = ordinalize_packed(packed_delta, doc_map_delta)
+            doc_map_out = old_doc_map.filter(
+                ~F.col("shard").isin(delta_shards)
+            ).unionByName(doc_map_delta)
+        carry_shards = [s for s in base_shards if s not in set(delta_shards)]
+        base_seq_new = next_seq
+    else:
+        if new_postings is not None:
+            seg_packed = build_packed_index(
+                new_postings.select("term", "doc_id", "tf", "dl"),
+                term_stats, n_docs, avgdl, cfg,
+            )
+            seg_dm = None
+            if cfg.ordinal_docids:
+                seg_dm = build_doc_map(new_postings.withColumn("shard", shard_col))
+                seg_packed = ordinalize_packed(seg_packed, seg_dm)
+            store.write_segment_pack(seg_name, seg_packed, seg_dm)
+        from bliss_rs_spark.operators.pack import PACKED_SCHEMA
+
+        packed_delta = spark.createDataFrame([], PACKED_SCHEMA)
+        if cfg.ordinal_docids:
+            doc_map_out = old_doc_map  # unchanged; vocab-of-shards-sized rewrite
+        carry_shards = base_shards  # the whole base is hard-linked
 
     elapsed = max(time.perf_counter() - t0, 1e-9)
     metrics = {
@@ -450,8 +544,10 @@ def update_index(
         "docs_removed": n_removed,
         "n_docs": n_docs,
         "n_postings": n_postings,
+        "repack_mode": repack,
         "n_shards_repacked": len(delta_shards),
         "n_shards_carried": len(carry_shards),
+        "n_packed_units": len(units) + (1 if repack == "segment" and n_delta > 0 else 0),
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_delta / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
@@ -462,6 +558,7 @@ def update_index(
     meta_out = dict(
         meta,
         segments=segments,
+        packed_base_seq=base_seq_new,
         n_docs=n_docs,
         sum_dl=sum_dl,
         avgdl=avgdl,
@@ -479,7 +576,8 @@ def update_index(
         metrics,
         carry_packed=(old_snapshot, carry_shards),
     )
-    unpacked.unpersist()
+    for df in to_unpersist:
+        df.unpersist()
     return name
 
 
@@ -552,8 +650,15 @@ def query_index(
     cfg = store.config()
     term_stats = store.load(spark, "term_stats")
     if use_wand:
-        from bliss_rs_spark.operators.wand import wand_topk
+        from bliss_rs_spark.operators.wand import wand_topk, wand_topk_units
 
+        units = store.packed_units(spark) if "segments" in meta else None
+        tomb = store.tombstone_dict(spark) if "segments" in meta else {}
+        if units is not None and (len(units) > 1 or tomb):
+            return wand_topk_units(
+                spark, units, term_stats, meta["avgdl"], query_text, k, cfg,
+                tombstones=tomb,
+            )
         packed = store.load(spark, "packed")
         doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
         return wand_topk(

@@ -210,6 +210,50 @@ class IndexStore:
             raise
         return name
 
+    def write_segment_pack(
+        self, seg_name: str, packed: DataFrame, doc_map: DataFrame | None
+    ) -> None:
+        """Attach a packed index (built from THIS segment's postings only) to
+        a just-written, not-yet-referenced segment — the
+        update_index(repack='segment') sink.  Readers discover it via
+        packed_units(); no pre-existing file is touched."""
+        seg_dir = os.path.join(self.segments_dir, seg_name)
+        assert os.path.isdir(seg_dir), seg_name
+        packed.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(os.path.join(seg_dir, "packed"))
+        if doc_map is not None:
+            doc_map.write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_map"))
+
+    def packed_units(self, spark: SparkSession) -> list[tuple[int, DataFrame, DataFrame | None]]:
+        """All packed units of the CURRENT snapshot: the base pack (snapshot
+        dir, covering every segment with seq <= packed_base_seq) plus one
+        unit per referenced segment that carries its own pack.  Query side:
+        operators/wand.py:wand_topk_units."""
+        meta = self.meta()
+        base_seq = int(meta.get("packed_base_seq", 0))
+        units = [(base_seq, self.load(spark, "packed"),
+                  self.load(spark, "doc_map")
+                  if os.path.isdir(os.path.join(self.snapshot_dir(), "doc_map"))
+                  else None)]
+        for seg in meta.get("segments", []):
+            p = os.path.join(self.segments_dir, seg, "packed")
+            if self.seg_seq(seg) > base_seq and os.path.isdir(p):
+                dm = os.path.join(self.segments_dir, seg, "doc_map")
+                units.append((
+                    self.seg_seq(seg),
+                    spark.read.parquet(p),
+                    spark.read.parquet(dm) if os.path.isdir(dm) else None,
+                ))
+        return units
+
+    def tombstone_dict(self, spark: SparkSession) -> dict[int, int]:
+        """{doc_id: before_seq} — churn-sized, safe to collect."""
+        return {
+            int(r["doc_id"]): int(r["before_seq"])
+            for r in self.load(spark, "tombstones").collect()
+        }
+
     def commit_snapshot(
         self,
         frames: dict[str, DataFrame],

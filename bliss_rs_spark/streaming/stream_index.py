@@ -60,7 +60,10 @@ def stream_documents_to_index(
 
         if batch_df.isEmpty():
             return
-        update_index(batch_df.sparkSession, batch_df, store, cfg)
+        # segment repack: each micro-batch appends one delta-sized segment
+        # pack and hard-links the whole base — O(batch) writes per trigger.
+        # Periodic build_full compacts the accumulated units.
+        update_index(batch_df.sparkSession, batch_df, store, cfg, repack="segment")
 
     writer = incoming.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:

@@ -190,6 +190,102 @@ def test_delete_missing(spark, tmp_path):
     assert remaining == {r["doc_id"] for r in shrunk.select("doc_id").collect()}
 
 
+def test_segment_repack_zero_rewrite_and_exact(spark, tmp_path):
+    """repack='segment': NO existing packed block is read-modified — the
+    whole base is hard-linked and only the delta segment gets its own pack.
+    Queries over the multi-unit store (changed + new + deleted docs) stay
+    rank-identical to a from-scratch build of the same corpus, through both
+    the exhaustive path and the units WAND kernel (tombstoned docs dropped
+    at block-decode time)."""
+    import json
+    import os
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 200)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    v1 = store.current_snapshot()
+
+    def packed_inodes(snapshot):
+        root = os.path.join(store.path, snapshot, "packed")
+        return {
+            os.path.join(d, f): os.stat(os.path.join(root, d, f)).st_ino
+            for d in os.listdir(root) if d.startswith("shard=")
+            for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+        }
+
+    ino_v1 = packed_inodes(v1)
+
+    # delta: changed + new docs, plus deletions
+    docs_b = _docs(spark, 220).withColumn(
+        "content",
+        F.when(F.col("doc_id") % 9 == 0, F.concat(F.col("content"), F.lit("\nzzsegzz")))
+        .otherwise(F.col("content")),
+    ).drop("doc_id", "content_sha256")
+    docs_b = with_invariants(docs_b).filter(F.col("doc_id") % 17 != 3)
+    update_index(spark, docs_b, store, CFG, delete_missing=True, repack="segment")
+    v2 = store.current_snapshot()
+
+    with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+        m = json.load(f)
+    assert m["repack_mode"] == "segment"
+    assert m["n_shards_repacked"] == 0
+    assert m["n_packed_units"] == 2
+    # the ENTIRE base is hard-linked: identical inode map, zero bytes written
+    assert packed_inodes(v2) == ino_v1
+
+    # rank+score identity vs a from-scratch build, both query paths
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, docs_b, fresh, CFG, checkpoint=False,
+               avgdl_override=store.meta()["avgdl"])
+    for q in ["varbyte merge return", "blockMaxScore", "return", "zzsegzz"]:
+        for use_wand in (True, False):
+            got = [(r["doc_id"], round(r["score"], 9))
+                   for r in query_index(spark, store, q, 15, use_wand=use_wand).collect()]
+            exp = [(r["doc_id"], round(r["score"], 9))
+                   for r in query_index(spark, fresh, q, 15, use_wand=use_wand).collect()]
+            assert got == exp, (q, use_wand)
+
+    # a second segment update stacks another unit; merge requests fall back
+    docs_c = with_invariants(_docs(spark, 240).drop("doc_id", "content_sha256")).filter(
+        F.col("doc_id") % 17 != 3
+    )
+    update_index(spark, docs_c, store, CFG, repack="merge")  # auto-falls back
+    with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+        m2 = json.load(f)
+    assert m2["repack_mode"] == "segment"
+    assert m2["n_packed_units"] == 3
+
+    # compaction folds everything back into one unit and clears tombstones
+    build_full(spark, docs_c, store, CFG, checkpoint=False)
+    assert len(store.packed_units(spark)) == 1
+    assert store.load(spark, "tombstones").count() == 0
+
+
+def test_wand_server_over_segment_store(spark, tmp_path):
+    from bliss_rs_spark.operators.wand import WandServer
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 150)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    docs_b = _docs(spark, 170).withColumn(
+        "content",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("content"), F.lit("\nzzsrvzz")))
+        .otherwise(F.col("content")),
+    ).drop("doc_id", "content_sha256")
+    update_index(spark, with_invariants(docs_b), store, CFG, repack="segment")
+
+    server = WandServer.from_store(spark, store)
+    assert server.single_stage
+    for q in ["varbyte merge return", "zzsrvzz", "return"]:
+        got = server.query(q, 10)
+        exp = [(r["doc_id"], r["score"])
+               for r in query_index(spark, store, q, 10, use_wand=True).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-12)
+    server.close()
+
+
 def test_version_sanity_refusal(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     build_full(spark, _docs(spark, 60), store, CFG, checkpoint=False)

@@ -76,13 +76,13 @@ def test_block_max_actually_prunes(monkeypatch):
     """A rare high-idf term + a long common low-value term: WAND must decode
     only a fraction of the common term's blocks."""
     decode_calls = {"n": 0}
-    orig = wand_mod._Cursor._decode
+    orig = wand_mod._Cursor._load
 
-    def counting_decode(self):
+    def counting_load(self, bi):
         decode_calls["n"] += 1
-        return orig(self)
+        return orig(self, bi)
 
-    monkeypatch.setattr(wand_mod._Cursor, "_decode", counting_decode)
+    monkeypatch.setattr(wand_mod._Cursor, "_load", counting_load)
 
     common = [(d, 1, 200) for d in range(0, 20000, 2)]      # 10k postings, low tsc
     rare = [(d, 9, 10) for d in range(0, 20000, 1999)]      # 11 postings, high tsc
