@@ -12,8 +12,12 @@ image/audio libraries, so the decode step is either
   - a clearly-marked deterministic FAKE (byte-histogram "features"), or
   - a NotImplementedError raise when ``require_real=True``.
 
-Swapping in a real decoder (PIL/librosa/pyav) is a one-function change: the
-batch contract (binary in -> float32 vector out) stays identical.
+Round 2: the decode step is REAL for uncompressed formats — RIFF/WAVE PCM
+and binary PPM are parsed with pure NumPy (functions/media_codec.py), and
+the extracted descriptors (zero-crossing rate, spectral centroid/rolloff,
+channel moments, luma histogram) are the reference's own feature family
+re-derived from public definitions.  The NotImplementedError stub now
+covers only formats that genuinely require external codecs (jpeg/mp3/h264).
 """
 
 from __future__ import annotations
@@ -61,6 +65,83 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42, n_partitions: int =
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_real_media(
+    spark: SparkSession, n: int, seed: int = 42, n_partitions: int = 4
+) -> DataFrame:
+    """Deterministic REAL media corpus: even ids get a binary PPM image
+    (gradient + seeded noise), odd ids a RIFF/WAVE PCM clip (mixture of
+    seeded sine partials) — both decodable by the pure-NumPy codecs, so
+    extract_features(require_real=True) runs a genuine decode."""
+    from bliss_rs_spark.functions.media_codec import encode_ppm, encode_wav
+
+    base = spark.range(0, n, 1, n_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "data": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng((seed, i))
+                if i % 2 == 0:
+                    h, w = int(rng.integers(16, 40)), int(rng.integers(16, 48))
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (255 * xx / max(w - 1, 1)),
+                            (255 * yy / max(h - 1, 1)),
+                            rng.integers(0, 256, (h, w)),
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    rows["kind"].append("image")
+                    rows["data"].append(encode_ppm(img))
+                    rows["meta"].append(
+                        {"width": str(w), "height": str(h), "format": "ppm"}
+                    )
+                else:
+                    sr = 8000
+                    dur = float(rng.uniform(0.2, 0.6))
+                    t = np.arange(int(sr * dur)) / sr
+                    x = np.zeros_like(t)
+                    for _ in range(int(rng.integers(1, 4))):
+                        f0 = float(rng.uniform(100, 3000))
+                        x += float(rng.uniform(0.1, 0.4)) * np.sin(2 * np.pi * f0 * t)
+                    rows["kind"].append("audio")
+                    rows["data"].append(encode_wav(x / max(np.abs(x).max(), 1.0), sr))
+                    rows["meta"].append(
+                        {"sample_rate": str(sr), "channels": "1", "format": "wav"}
+                    )
+                rows["media_id"].append(i)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _real_decode_features(data: bytes, fmt: str) -> np.ndarray:
+    """REAL decode for uncompressed formats (pure NumPy); raises for formats
+    that need an external codec — the honest remaining stub surface."""
+    from bliss_rs_spark.functions.media_codec import (
+        audio_features,
+        decode_ppm,
+        decode_wav,
+        image_features,
+    )
+
+    if fmt == "wav":
+        sr, samples = decode_wav(data)
+        f = audio_features(samples, sr)
+    elif fmt == "ppm":
+        f = image_features(decode_ppm(data))
+    else:
+        raise NotImplementedError(
+            f"no codec for format={fmt!r} in this environment; "
+            "uncompressed wav/ppm decode natively (functions/media_codec.py)"
+        )
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: len(f)] = f
+    return out
+
+
 def _fake_decode_features(data: bytes) -> np.ndarray:
     """STUB DECODER (deterministic fake): L1-normalized 32-bin byte histogram.
 
@@ -78,25 +159,57 @@ def extract_features(media: DataFrame, require_real: bool = False) -> DataFrame:
 
     Batch contract: the UDF sees Arrow record batches, never single rows;
     per-batch it builds a (batch, FEATURE_DIM) float32 matrix in one NumPy
-    pass per row payload.  ``require_real=True`` raises NotImplementedError —
-    the hook where a real decoder plugs in.
+    pass per row payload.
+
+    ``require_real=True`` runs the REAL pure-NumPy decoders (wav/ppm) and
+    raises NotImplementedError for formats that need an external codec —
+    the remaining (honest) stub surface.  The default keeps the documented
+    deterministic byte-histogram fake, which works on any payload.
     """
-    if require_real:
-        raise NotImplementedError(
-            "no media codec available in this environment; "
-            "plug a real decoder into _fake_decode_features"
-        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [float(x) for x in _fake_decode_features(bytes(d))] for d in pdf["data"]
-            ]
+            if require_real:
+                feats = [
+                    [float(x) for x in _real_decode_features(
+                        bytes(d), dict(m).get("format", "?"))]
+                    for d, m in zip(pdf["data"], pdf["meta"])
+                ]
+            else:
+                feats = [
+                    [float(x) for x in _fake_decode_features(bytes(d))]
+                    for d in pdf["data"]
+                ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
             )
 
     return media.mapInPandas(op, schema="media_id long, kind string, feature array<float>")
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Real image transform: decode PPM -> block-mean resize -> re-encode PPM
+    (media_id, data).  Non-image rows are dropped; non-PPM images raise (no
+    external codec)."""
+    from bliss_rs_spark.functions.media_codec import (
+        decode_ppm,
+        encode_ppm,
+        resize_block_mean,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "data": []}
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind != "image":
+                    continue
+                img = decode_ppm(bytes(data))
+                small = np.clip(resize_block_mean(img, out_h, out_w), 0, 255)
+                rows["media_id"].append(int(mid))
+                rows["data"].append(encode_ppm(small.astype(np.uint8)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema="media_id long, data binary")
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

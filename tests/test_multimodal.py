@@ -48,10 +48,13 @@ def test_feature_extraction_contract(spark):
     )
 
 
-def test_require_real_raises(spark):
+def test_require_real_raises_on_codec_needing_formats(spark):
+    """The fake corpus's formats (fake_rgb/fake_pcm/fake_av) have no real
+    decoder -> the NotImplementedError surfaces from the executors (wrapped
+    in Spark's PythonException)."""
     media = synth_media(spark, 5, seed=42)
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(media, require_real=True)
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(media, require_real=True).collect()
 
 
 def test_frame_sampling_explode(spark):
@@ -79,3 +82,102 @@ def test_features_feed_similarity_search(spark):
     top = cosine_topk(emb, [float(x) for x in q], k=5).collect()
     assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
     assert len(top) == 5
+
+
+# --- real pure-NumPy codecs (round 2) -------------------------------------------
+
+def test_wav_roundtrip_and_spectral_centroid():
+    from bliss_rs_spark.functions.media_codec import audio_features, decode_wav, encode_wav
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    x = 0.8 * np.sin(2 * np.pi * 440.0 * t)
+    blob = encode_wav(x, sr)
+    sr2, y = decode_wav(blob)
+    assert sr2 == sr and len(y) == len(x)
+    np.testing.assert_allclose(y, np.round(x * 32767) / 32767, atol=1e-9)
+
+    f = audio_features(y, sr)
+    duration, rms, zcr, centroid, rolloff = f[0], f[1], f[2], f[3], f[4]
+    assert abs(duration - 0.5) < 1e-6
+    assert abs(rms - 0.8 / np.sqrt(2)) < 1e-3
+    # a pure 440 Hz tone: centroid ~ 440, rolloff ~ 440, zcr ~ 2*440/sr
+    assert abs(centroid - 440.0) < 5.0
+    assert abs(rolloff - 440.0) < 20.0
+    assert abs(zcr - 2 * 440.0 / sr) < 0.01
+
+
+def test_wav_stereo_downmix_and_bad_payloads():
+    import pytest as _pytest
+
+    from bliss_rs_spark.functions.media_codec import decode_wav
+
+    import struct
+    # hand-build a 2-channel PCM wav: L=+0.5, R=-0.5 -> mono 0
+    frames = np.array([16384, -16384] * 100, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, y = decode_wav(blob)
+    assert sr == 8000 and np.abs(y).max() < 1e-9
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"nonsense payload")
+
+
+def test_ppm_roundtrip_resize_and_features():
+    from bliss_rs_spark.functions.media_codec import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        resize_block_mean,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    blob = encode_ppm(img)
+    np.testing.assert_array_equal(decode_ppm(blob), img)
+    # comment handling
+    blob2 = b"P6\n# a comment\n32 24\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(blob2), img)
+
+    flat = np.full((24, 32, 3), 77, dtype=np.uint8)
+    small = resize_block_mean(flat, 6, 8)
+    np.testing.assert_allclose(small, 77.0)
+
+    f = image_features(flat)
+    np.testing.assert_allclose(f[:3], 77 / 255.0, atol=1e-6)  # channel means
+    np.testing.assert_allclose(f[3:6], 0.0, atol=1e-6)        # stds
+    assert abs(f[14] - 32 / 24) < 1e-6                        # aspect
+
+
+def test_real_media_features_and_resize(spark):
+    from bliss_rs_spark.operators.multimodal import resize_images, synth_real_media
+
+    media = synth_real_media(spark, 24, seed=42)
+    rows = media.orderBy("media_id").collect()
+    assert {r["meta"]["format"] for r in rows} == {"ppm", "wav"}
+    # REAL decode end-to-end through Spark
+    feats = extract_features(media, require_real=True).collect()
+    assert len(feats) == 24
+    for r in feats:
+        v = np.array(r["feature"], dtype=np.float32)
+        assert v.shape == (FEATURE_DIM,) and np.isfinite(v).all()
+        if r["kind"] == "audio":
+            assert 0.1 < v[0] < 0.7  # duration within synth range
+            assert 50.0 < v[3] < 4000.0  # centroid within band
+    # determinism across partitioning
+    feats2 = extract_features(
+        synth_real_media(spark, 24, seed=42, n_partitions=7), require_real=True
+    ).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+
+    resized = resize_images(media, 8, 8).collect()
+    from bliss_rs_spark.functions.media_codec import decode_ppm
+
+    assert len(resized) == 12  # only images
+    for r in resized:
+        assert decode_ppm(bytes(r["data"])).shape == (8, 8, 3)

@@ -105,3 +105,52 @@ def test_exhausted_and_empty_edges():
     pl = [(d, 2, 30) for d in [3, 9, 27]]
     got = _run({"t": pl}, [2.0], 100)
     assert len(got) == 3
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_rank_identity_with_dead_docs(seed):
+    """Segment-mode kernel contract: the dead filter (tombstoned docs dropped
+    at block decode) must yield exactly brute-force-over-survivors — across
+    random deletion patterns, including whole dead blocks, dead block tails
+    (stale last_doc bounds), and dead pivots mid-seek."""
+    rng = random.Random(1000 + seed)
+    n_terms = rng.randint(1, 5)
+    universe = list(range(-1000, 1000))
+    postings = {}
+    for t in range(n_terms):
+        docs = sorted(rng.sample(universe, rng.randint(1, 400)))
+        postings[f"t{t}"] = [(d, rng.randint(1, 9), rng.randint(5, 200)) for d in docs]
+    idfs = [rng.uniform(0.1, 5.0) for _ in range(n_terms)]
+    k = rng.choice([1, 3, 10, 50])
+
+    all_docs = sorted({d for pl in postings.values() for d, _, _ in pl})
+    frac = rng.choice([0.05, 0.3, 0.7, 0.95])
+    dead = sorted(rng.sample(all_docs, int(len(all_docs) * frac)))
+    dead_arr = np.array(dead, dtype=np.int64)
+    dead_set = set(dead)
+
+    alive_postings = {
+        t: [(d, tf, dl) for d, tf, dl in pl if d not in dead_set]
+        for t, pl in postings.items()
+    }
+    exp = _brute_force(alive_postings, idfs, k)
+
+    rows = [
+        (_mk_blocks([d for d, _, _ in pl], [t for _, t, _ in pl],
+                    [l for _, _, l in pl], block_size=8), idf)
+        for pl, idf in zip(postings.values(), idfs)
+    ]
+    got = _wand_shard(rows, k, K1, B, AVGDL, dead=dead_arr)
+    assert [d for d, _ in got] == [d for d, _ in exp], (seed, frac)
+    for (_, gs), (_, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-12)
+
+
+def test_all_docs_dead_returns_empty():
+    pl = [(d, 1, 40) for d in range(100)]
+    rows = [(_mk_blocks([d for d, _, _ in pl], [1] * 100, [40] * 100), 1.0)]
+    dead = np.arange(100, dtype=np.int64)
+    assert _wand_shard(rows, 10, K1, B, AVGDL, dead=dead) == []
+    # multi-term variant exercises the cursor path
+    rows2 = rows + [(_mk_blocks([5, 50, 95], [2, 2, 2], [40, 40, 40]), 2.0)]
+    assert _wand_shard(rows2, 10, K1, B, AVGDL, dead=dead) == []
