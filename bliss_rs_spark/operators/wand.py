@@ -75,9 +75,14 @@ class _Cursor:
             tf = varbyte_decode(bl["tfs"]).astype(np.float64)
             dl = varbyte_decode(bl["dls"]).astype(np.float64)
             if self.dead is not None:
-                alive = ~np.isin(docs, self.dead, assume_unique=False)
-                if not alive.all():
-                    docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                # range gate: most blocks contain no dead doc — one pair of
+                # searchsorted probes skips the O(n log n) isin mask
+                lo = int(np.searchsorted(self.dead, docs[0]))
+                hi = int(np.searchsorted(self.dead, docs[-1], side="right"))
+                if hi > lo:
+                    alive = ~np.isin(docs, self.dead[lo:hi])
+                    if not alive.all():
+                        docs, tf, dl = docs[alive], tf[alive], dl[alive]
             if len(docs):
                 self.bi = bi
                 self.docs = docs
@@ -170,11 +175,14 @@ def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: fl
         tf = varbyte_decode(bl["tfs"]).astype(np.float64)
         dl = varbyte_decode(bl["dls"]).astype(np.float64)
         if dead is not None and len(dead):
-            alive = ~np.isin(docs, dead)
-            if not alive.all():
-                docs, tf, dl = docs[alive], tf[alive], dl[alive]
-                if not len(docs):
-                    continue
+            lo = int(np.searchsorted(dead, docs[0]))
+            hi = int(np.searchsorted(dead, docs[-1], side="right"))
+            if hi > lo:
+                alive = ~np.isin(docs, dead[lo:hi])
+                if not alive.all():
+                    docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                    if not len(docs):
+                        continue
         sc = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
         best_docs = np.concatenate([best_docs, docs])
         best_scores = np.concatenate([best_scores, sc])
@@ -189,12 +197,68 @@ def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: fl
     return [(int(best_docs[i]), float(best_scores[i])) for i in order]
 
 
+# Above this many total postings across the query's cursors in a shard, the
+# doc-at-a-time Python loop costs more than decoding everything and scoring
+# vectorized: WAND's pruning saves block DECODES, but with several hot terms
+# nearly every block participates anyway and the per-pivot interpreter
+# overhead dominates.  The dense path is exact (it scores every candidate).
+DENSE_TOTAL_POSTINGS = 4096
+
+
+def _dense_shard_topk(rows, k: int, k1: float, b: float, avgdl: float,
+                      dead: np.ndarray | None = None):
+    """Vectorized exact top-k for hot-term queries: decode ALL the cursors'
+    blocks and accumulate scores term-by-term into a dense per-doc slot
+    array.  A doc appears at most once per term, so the fancy-index `+=` has
+    no duplicate hazard, and adding terms in cursor order reproduces the
+    WAND loop's float-fold exactly (((0+c0)+c1)+c2 ...) — scores are
+    bitwise-identical to the pruned path (tested), so the branch choice can
+    never flip a tie.  Final ranking is one lexsort for (score DESC, doc ASC).
+    """
+    from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+    term_arrays = []  # (docs, scores) per term, in cursor (sorted-term) order
+    for blocks, idf in rows:
+        doc_parts, score_parts = [], []
+        for bl in blocks:
+            docs = decode_doc_ids(bl["docs"])
+            tf = varbyte_decode(bl["tfs"]).astype(np.float64)
+            dl = varbyte_decode(bl["dls"]).astype(np.float64)
+            if dead is not None and len(dead):
+                lo = int(np.searchsorted(dead, docs[0]))
+                hi = int(np.searchsorted(dead, docs[-1], side="right"))
+                if hi > lo:
+                    alive = ~np.isin(docs, dead[lo:hi])
+                    if not alive.all():
+                        docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                        if not len(docs):
+                            continue
+            doc_parts.append(docs)
+            score_parts.append(
+                idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
+            )
+        if doc_parts:
+            term_arrays.append(
+                (np.concatenate(doc_parts), np.concatenate(score_parts))
+            )
+    if not term_arrays:
+        return []
+    uniq = np.unique(np.concatenate([d for d, _ in term_arrays]))
+    sums = np.zeros(len(uniq), dtype=np.float64)
+    for docs_t, sc_t in term_arrays:
+        sums[np.searchsorted(uniq, docs_t)] += sc_t
+    top = np.lexsort((uniq, -sums))[:k]
+    return [(int(uniq[i]), float(sums[i])) for i in top]
+
+
 def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float,
                 dead: np.ndarray | None = None):
     """rows: [(blocks, idf)] per query term present in this shard; ``dead`` =
     sorted tombstoned ids (same id space as the blocks) to drop at decode."""
     if len(rows) == 1:
         return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl, dead)
+    if sum(bl["n"] for blocks, _ in rows for bl in blocks) >= DENSE_TOTAL_POSTINGS:
+        return _dense_shard_topk(rows, k, k1, b, avgdl, dead)
     _Cursor.set_params(k1, b, avgdl)
     cursors = [
         c for c in (_Cursor(blocks, idf, k1, b, avgdl, dead) for blocks, idf in rows)
@@ -466,7 +530,7 @@ class WandServer:
         avgdl: float,
         cfg: IndexConfig | None = None,
         doc_map: DataFrame | None = None,
-        target_partitions: int = 8,
+        target_partitions: int | None = None,
         units: list[tuple[int, DataFrame, DataFrame | None]] | None = None,
         tombstones: dict[int, int] | None = None,
     ):
@@ -541,7 +605,11 @@ class WandServer:
                 u = part if u is None else u.unionByName(part)
             # coalesce MERGES file-partitions (never splits them), so shard
             # completeness is preserved while per-query task-launch overhead
-            # drops from n_files to target_partitions
+            # drops from n_files to target_partitions.  Default: the session's
+            # core count — heavy (hot-term) queries keep full parallelism;
+            # pass a small value for tiny stores where task launch dominates.
+            if target_partitions is None:
+                target_partitions = spark.sparkContext.defaultParallelism
             if target_partitions:
                 u = u.coalesce(target_partitions)
             self.packed = u.persist()

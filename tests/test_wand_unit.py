@@ -154,3 +154,35 @@ def test_all_docs_dead_returns_empty():
     # multi-term variant exercises the cursor path
     rows2 = rows + [(_mk_blocks([5, 50, 95], [2, 2, 2], [40, 40, 40]), 2.0)]
     assert _wand_shard(rows2, 10, K1, B, AVGDL, dead=dead) == []
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_dense_path_identical_to_wand_and_brute(seed, monkeypatch):
+    """The vectorized dense path (hot-term queries) must be bitwise-identical
+    to both the WAND loop and brute force — scores included (same
+    float-addition order by construction)."""
+    rng = random.Random(2000 + seed)
+    n_terms = rng.randint(2, 5)
+    universe = list(range(-1000, 1000))
+    postings = {}
+    for t in range(n_terms):
+        docs = sorted(rng.sample(universe, rng.randint(50, 600)))
+        postings[f"t{t}"] = [(d, rng.randint(1, 9), rng.randint(5, 200)) for d in docs]
+    idfs = [rng.uniform(0.1, 5.0) for _ in range(n_terms)]
+    k = rng.choice([1, 10, 50])
+    dead = None
+    if seed % 2:
+        all_docs = sorted({d for pl in postings.values() for d, _, _ in pl})
+        dead = np.array(sorted(rng.sample(all_docs, len(all_docs) // 4)), dtype=np.int64)
+
+    rows = [
+        (_mk_blocks([d for d, _, _ in pl], [t for _, t, _ in pl],
+                    [l for _, _, l in pl], block_size=8), idf)
+        for pl, idf in zip(postings.values(), idfs)
+    ]
+    monkeypatch.setattr(wand_mod, "DENSE_TOTAL_POSTINGS", 1)
+    dense = _wand_shard(rows, k, K1, B, AVGDL, dead=dead)
+    monkeypatch.setattr(wand_mod, "DENSE_TOTAL_POSTINGS", 1 << 60)
+    wand = _wand_shard(rows, k, K1, B, AVGDL, dead=dead)
+    assert [d for d, _ in dense] == [d for d, _ in wand]
+    assert [s for _, s in dense] == [s for _, s in wand]  # bitwise
