@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase query (index must be built with --positions)")
 
+    sv = sub.add_parser("serve", help="warm low-latency query loop (WandServer): "
+                                      "one query per stdin line (or --queries file), "
+                                      "one JSON result line per query")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--queries", default=None,
+                    help="file with one query per line (default: stdin)")
+
     st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
     st.add_argument("--index", required=True)
 
@@ -132,6 +140,34 @@ def main(argv: list[str] | None = None) -> int:
             with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
                 metrics = json.load(f)
             print(json.dumps({"snapshot": name, **metrics}))
+            return 0
+
+        if args.cmd == "serve":
+            import time
+
+            from bliss_rs_spark.operators.wand import WandServer
+
+            server = WandServer.from_store(spark, store)
+            print(json.dumps({"ready": True, "single_stage": server.single_stage,
+                              "units": len(server._units)}), flush=True)
+            lines = open(args.queries) if args.queries else sys.stdin
+            try:
+                for line in lines:
+                    text = line.strip()
+                    if not text:
+                        continue
+                    t0 = time.perf_counter()
+                    top = server.query(text, args.k)
+                    ms = round(1000 * (time.perf_counter() - t0), 1)
+                    print(json.dumps({
+                        "query": text, "ms": ms,
+                        "results": [{"rank": i + 1, "doc_id": d, "score": s}
+                                    for i, (d, s) in enumerate(top)],
+                    }), flush=True)
+            finally:
+                if args.queries:
+                    lines.close()
+                server.close()
             return 0
 
         if args.cmd == "migrate":

@@ -1,0 +1,59 @@
+"""CLI smoke test: the spark-submit surface (python -m bliss_rs_spark) runs
+the full lifecycle — synth -> build -> stats -> query -> serve -> migrate —
+in a fresh subprocess (its own SparkSession; main() stops it, so it must not
+run in-process against the shared test session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args, stdin_text=None):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "bliss_rs_spark", *args],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+        input=stdin_text,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    return [json.loads(l) for l in lines]
+
+
+def test_cli_lifecycle(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+
+    (synth,) = _run("synth", "--n", "200", "--dest", corpus)
+    assert synth["written"] == 200
+
+    (built,) = _run("build", "--source", corpus, "--index", index)
+    assert built["snapshot"] == "v00001" and built["n_docs"] == 200
+
+    (stats,) = _run("stats", "--index", index)
+    assert stats["current"] == "v00001"
+    assert stats["meta"]["segments"] == ["seg_000001"]
+
+    (q,) = _run("query", "--index", index, "--text", "varbyte merge return", "--k", "5")
+    assert len(q["results"]) == 5
+    assert q["results"][0]["rank"] == 1
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("varbyte merge return\nblockMaxScore\n")
+    ready, r1, r2 = _run("serve", "--index", index, "--k", "5",
+                         "--queries", str(qfile))
+    assert ready["ready"] and ready["units"] == 1
+    assert [x["doc_id"] for x in r1["results"]] == [x["doc_id"] for x in q["results"]]
+    assert r1["ms"] > 0 and len(r2["results"]) >= 1
+
+    (upd,) = _run("update", "--source", corpus, "--index", index,
+                  "--repack", "segment")
+    assert upd["docs_processed"] == 0 and upd["repack_mode"] == "segment"
+
+    (mig,) = _run("migrate", "--index", index, "--analyzer-version", "2")
+    assert mig["analyzer_version"] == 2
+    (stats2,) = _run("stats", "--index", index)
+    assert stats2["meta"]["analyzer_version"] == 2

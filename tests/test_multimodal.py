@@ -181,3 +181,32 @@ def test_real_media_features_and_resize(spark):
     assert len(resized) == 12  # only images
     for r in resized:
         assert decode_ppm(bytes(r["data"])).shape == (8, 8, 3)
+
+
+# --- hypothesis round-trips for the pure-NumPy codecs ----------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=500),
+    st.sampled_from([8000, 22050, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    from bliss_rs_spark.functions.media_codec import decode_wav, encode_wav
+
+    x = np.array(samples, dtype=np.float64)
+    sr2, y = decode_wav(encode_wav(x, sr))
+    assert sr2 == sr
+    np.testing.assert_allclose(y, np.round(np.clip(x, -1, 1) * 32767) / 32767, atol=1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_ppm_roundtrip_property(h, w, seed):
+    from bliss_rs_spark.functions.media_codec import decode_ppm, encode_ppm
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
