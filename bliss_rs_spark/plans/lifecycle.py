@@ -241,6 +241,7 @@ def update_index(
     cfg: IndexConfig | None = None,
     delete_missing: bool = False,
     repack: str = "merge",
+    checkpoint: bool = True,
 ) -> str:
     """Incremental update, O(delta) in shuffle and write:
 
@@ -332,7 +333,16 @@ def update_index(
             manifest_ids.join(incoming.select("doc_id"), "doc_id", "left_anti")
         )
     removed = removed.distinct().cache()
-    n_removed = removed.count()
+    # one job for both removal counts: total and how many were live ok docs
+    # (the n_docs decrement; failed docs never contributed)
+    ok_ids = done_ok.select("doc_id").distinct()
+    rem_row = (
+        removed.join(ok_ids.withColumn("_ok", F.lit(1)), "doc_id", "left")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_ok").alias("n_ok"))
+        .collect()[0]
+    )
+    n_removed = int(rem_row["n"])
+    n_removed_ok = int(rem_row["n_ok"] or 0)
 
     avgdl = float(meta["avgdl"])  # epoch-pinned: keeps untouched blocks valid
     segments = list(meta["segments"])
@@ -344,9 +354,16 @@ def update_index(
     n_new_ok = 0
     sum_dl_new = 0
     if n_delta > 0:
-        _write_segment_from_tokenized(
-            spark, tokenize_documents(delta, cfg), store, cfg, seg_name
-        )
+        if checkpoint:
+            # one UDF pass: the delta lands in the tokenize checkpoint and
+            # the 4-5 segment frame writes derive from the PARQUET read, not
+            # from re-running the tokenizer lineage per frame.  Also makes a
+            # killed update resume without re-tokenizing (same anti-join as
+            # build_full).
+            tokenized = _tokenize_with_checkpoint(spark, delta, store, cfg)
+        else:
+            tokenized = tokenize_documents(delta, cfg)
+        _write_segment_from_tokenized(spark, tokenized, store, cfg, seg_name)
         segments.append(seg_name)
         new_doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
         new_postings = _read_segment(spark, store, seg_name, "postings")
@@ -447,8 +464,6 @@ def update_index(
             )
 
     # --- exact incremental term stats -------------------------------------------
-    ok_ids = done_ok.select("doc_id").distinct()
-    n_removed_ok = removed.join(ok_ids, "doc_id", "left_semi").count()
     n_docs = int(meta["n_docs"]) - n_removed_ok + n_new_ok
     sum_dl_removed = int(
         removed_flat.groupBy("doc_id")
