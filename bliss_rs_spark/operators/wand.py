@@ -711,18 +711,27 @@ def wand_topk_batch(
     queries: list[tuple[int, str, int]],
     cfg: IndexConfig | None = None,
     doc_map: DataFrame | None = None,
+    units: list[tuple[int, DataFrame, DataFrame | None]] | None = None,
+    tombstones: dict[int, int] | None = None,
 ) -> DataFrame:
     """Score a whole query SET through WAND in ONE Spark job.
 
     The scan is filtered once by the union of all queries' terms; each shard
     task runs the WAND kernel once per query over its slice and emits
     per-(query, shard) top-k; a rank window per query finishes the exact
-    merge.  This is the serving path: per-query cost is kernel time, not job
-    scheduling.  Returns (query_id, rank, doc_id, score).
+    merge.  This is the batch-serving path: per-query cost is kernel time,
+    not job scheduling.  Returns (query_id, rank, doc_id, score).
+
+    Pass ``units`` (+ ``tombstones``) for a segment-mode store — the
+    per-(unit, shard) grouping and kernel-level dead-doc drop mirror
+    wand_topk_units; without them the positional packed/doc_map args are
+    treated as a single unit.
     """
     from pyspark.sql import Window as W
 
     cfg = cfg or IndexConfig()
+    if units is None:
+        units = [(0, packed, doc_map)]
     qterms: dict[int, list[str]] = {}
     kmap: dict[int, int] = {}
     for qid, text, k in queries:
@@ -736,8 +745,25 @@ def wand_topk_batch(
     )
     idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
     k1, b = cfg.k1, cfg.b
+    tomb = tombstones or {}
+    dead_by_unit = {
+        seq: np.sort(np.array(
+            [d for d, bs in tomb.items() if bs > seq], dtype=np.int64
+        ))
+        for seq, _, _ in units
+    }
 
-    def run_all(pdf: pd.DataFrame, ids) -> pd.DataFrame:
+    def run_all(pdf: pd.DataFrame, ids, seq: int) -> pd.DataFrame:
+        dead = dead_by_unit.get(seq)
+        if dead is not None and not len(dead):
+            dead = None
+        if ids is not None and dead is not None:
+            pos = np.searchsorted(ids, dead)
+            ok = pos < len(ids)
+            ok[ok] = ids[pos[ok]] == dead[ok]
+            dead = np.sort(pos[ok]).astype(np.int64)
+            if not len(dead):
+                dead = None
         by_term = {t: list(sub["blocks"].iloc[0]) for t, sub in pdf.groupby("term")}
         out = {"query_id": [], "doc_id": [], "score": []}
         for qid, terms in qterms.items():
@@ -748,16 +774,30 @@ def wand_topk_batch(
             ]
             if not rows:
                 continue
-            for doc, score in _wand_shard(rows, kmap[qid], k1, b, avgdl):
+            for doc, score in _wand_shard(rows, kmap[qid], k1, b, avgdl, dead=dead):
                 out["query_id"].append(qid)
                 out["doc_id"].append(int(ids[doc]) if ids is not None else doc)
                 out["score"].append(score)
         return pd.DataFrame(out)
 
-    pruned = packed.filter(F.col("term").isin([t for t in union_terms if t in idfs]))
-    if doc_map is None:
-        per_shard = pruned.groupBy("shard").applyInPandas(
-            lambda pdf: run_all(pdf, None), "query_id int, doc_id long, score double"
+    packed_u = None
+    map_u = None
+    for seq, p, dm in units:
+        pp = p.withColumn("unit", F.lit(int(seq)))
+        packed_u = pp if packed_u is None else packed_u.unionByName(pp)
+        if dm is not None:
+            mm = dm.withColumn("unit", F.lit(int(seq)))
+            map_u = mm if map_u is None else map_u.unionByName(mm)
+
+    pruned = packed_u.filter(F.col("term").isin([t for t in union_terms if t in idfs]))
+    if map_u is None:
+        def fn0(pdf):
+            if len(pdf) == 0:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            return run_all(pdf, None, int(pdf["unit"].iloc[0]))
+
+        per_shard = pruned.groupBy("unit", "shard").applyInPandas(
+            fn0, "query_id int, doc_id long, score double"
         )
     else:
         def fn(key, pdf, map_pdf):
@@ -765,11 +805,13 @@ def wand_topk_batch(
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             from bliss_rs_spark.functions.codec import decode_doc_ids
 
-            return run_all(pdf, decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0])))
+            return run_all(
+                pdf, decode_doc_ids(bytes(map_pdf["doc_ids"].iloc[0])), int(key[0])
+            )
 
         per_shard = (
-            pruned.groupBy("shard")
-            .cogroup(doc_map.groupBy("shard"))
+            pruned.groupBy("unit", "shard")
+            .cogroup(map_u.groupBy("unit", "shard"))
             .applyInPandas(fn, "query_id int, doc_id long, score double")
         )
 

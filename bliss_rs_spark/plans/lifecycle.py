@@ -686,6 +686,30 @@ def query_index(
     return bm25_topk(spark, postings, term_stats, meta["avgdl"], query_text, k, cfg)
 
 
+def query_index_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[tuple[int, str, int]],
+) -> DataFrame:
+    """Answer a whole query set from the CURRENT snapshot in ONE Spark job
+    (WAND batch kernel), units- and tombstone-aware.  Returns
+    (query_id, rank, doc_id, score)."""
+    from bliss_rs_spark.operators.wand import wand_topk_batch
+
+    meta = store.meta()
+    cfg = store.config()
+    return wand_topk_batch(
+        spark,
+        None,
+        store.load(spark, "term_stats"),
+        meta["avgdl"],
+        queries,
+        cfg,
+        units=store.packed_units(spark),
+        tombstones=store.tombstone_dict(spark),
+    )
+
+
 def phrase_query(
     spark: SparkSession,
     store: IndexStore,

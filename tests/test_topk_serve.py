@@ -208,3 +208,44 @@ def test_banded_lsh_recall_vs_brute_force(spark):
         ).collect()
     }
     assert len(one_bucket) <= len(got)
+
+
+def test_batch_queries_over_segment_store(spark, tmp_path):
+    """One-job batch scoring on a multi-unit store (segment update with
+    changed + deleted docs) must equal the per-query units path for every
+    query in the set."""
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        query_index,
+        query_index_batch,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 160))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    docs_b = with_invariants(
+        synth_documents(spark, 180)
+        .withColumn(
+            "content",
+            F.when(F.expr("pmod(xxhash64(repo, path, commit), 13) = 0"),
+                   F.concat(F.col("content"), F.lit("\nzzbatchzz")))
+            .otherwise(F.col("content")),
+        )
+    ).filter(F.col("doc_id") % 19 != 2)
+    update_index(spark, docs_b, store, CFG, delete_missing=True, repack="segment")
+    assert len(store.packed_units(spark)) == 2
+    assert store.tombstone_dict(spark)
+
+    queries = [(1, "varbyte merge return", 10), (2, "zzbatchzz", 10),
+               (3, "blockMaxScore", 5), (4, "return", 7)]
+    batch = query_index_batch(spark, store, queries).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, text, k in queries:
+        exp = [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(
+            query_index(spark, store, text, k, use_wand=True).collect())]
+        got = sorted(by_q.get(qid, []))
+        assert got == exp, (qid, text)
