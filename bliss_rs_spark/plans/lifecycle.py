@@ -64,6 +64,17 @@ def _skew_ratio(df: DataFrame, key: str, weight: str | None = None) -> float:
     return float(row["mx"]) / float(row["mean"])
 
 
+def _doc_shard_skew(doc_map: DataFrame | None) -> float | None:
+    """max/mean docs per doc-shard — the pack-stage shuffle's skew metric,
+    free from the tiny (n_shards rows) doc_map frame."""
+    if doc_map is None:
+        return None
+    row = doc_map.agg(F.max("n_docs").alias("mx"), F.avg("n_docs").alias("mean")).collect()[0]
+    if not row["mean"]:
+        return 1.0
+    return float(row["mx"]) / float(row["mean"])
+
+
 def _tokenize_with_checkpoint(
     spark: SparkSession, docs: DataFrame, store: IndexStore, cfg: IndexConfig
 ) -> DataFrame:
@@ -185,6 +196,9 @@ def _assemble_and_commit(
             _skew_ratio(term_stats, "term_bucket", weight="df"), 3
         ),
     }
+    shard_skew = _doc_shard_skew(doc_map)
+    if shard_skew is not None:
+        metrics["skew_ratio_doc_shard"] = round(shard_skew, 3)
     meta = {
         "config": __import__("json").loads(cfg.to_json()),
         "layout": 2,
@@ -570,6 +584,9 @@ def update_index(
             _skew_ratio(term_stats, "term_bucket", weight="df"), 3
         ),
     }
+    shard_skew = _doc_shard_skew(doc_map_out)
+    if shard_skew is not None:
+        metrics["skew_ratio_doc_shard"] = round(shard_skew, 3)
     meta_out = dict(
         meta,
         segments=segments,
