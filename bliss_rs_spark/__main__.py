@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
                         "(read-optimized, hard-links the rest); segment = "
                         "pack only the delta as its own unit (zero rewrites)")
 
+    cp = sub.add_parser("compact", help="fold all packed units into one base pack "
+                                        "(segment-merge for the query structure; "
+                                        "no re-tokenize, no postings rewrite)")
+    cp.add_argument("--index", required=True)
+
     mg = sub.add_parser("migrate", help="re-analyze the store at a newer analyzer_version")
     mg.add_argument("--index", required=True)
     mg.add_argument("--analyzer-version", type=int, required=True)
@@ -168,6 +173,14 @@ def main(argv: list[str] | None = None) -> int:
                 if args.queries:
                     lines.close()
                 server.close()
+            return 0
+
+        if args.cmd == "compact":
+            from bliss_rs_spark.plans.lifecycle import compact_packs
+
+            name = compact_packs(spark, store)
+            print(json.dumps({"snapshot": name,
+                              "units": len(store.packed_units(spark))}))
             return 0
 
         if args.cmd == "migrate":

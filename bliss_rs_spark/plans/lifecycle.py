@@ -613,6 +613,71 @@ def update_index(
     return name
 
 
+def compact_packs(spark: SparkSession, store: IndexStore) -> str:
+    """Fold all packed units (base + per-segment packs) into ONE base pack —
+    the Lucene segment-merge, restricted to the query-serving structure:
+
+    - reads every unit's packed rows (decode), drops each unit's dead docs,
+      unions, repacks with the epoch-pinned avgdl -> one fresh base
+    - NO re-tokenization, NO postings/segment rewrite: segments + tombstones
+      stay as they are (the segment frames still need them); only
+      packed/doc_map are rebuilt and packed_base_seq advances to the newest
+      segment, so no doc is dead in the new base
+    - cost is O(total packed bytes), independent of raw corpus size
+
+    Streaming cadence: micro-batches append one unit each
+    (update_index(repack='segment')); run compact_packs when the unit count
+    makes query fan-out noticeable; run build_full for FULL compaction
+    (segments folded, tombstones cleared, avgdl re-pinned).
+    """
+    t0 = time.perf_counter()
+    meta = store.meta()
+    cfg = store.config()
+    avgdl = float(meta["avgdl"])
+    units = store.packed_units(spark)
+    if len(units) == 1 and not store.tombstone_dict(spark):
+        return store.current_snapshot()
+    old_tomb = store.tombstone_dict(spark)
+
+    flat = None
+    for seq, packed_df, dm_df in units:
+        part = unpack_postings(packed_df, dm_df)
+        dead_ids = [d for d, bs in old_tomb.items() if bs > seq]
+        if dead_ids:
+            part = part.filter(~F.col("doc_id").isin(dead_ids))
+        flat = part if flat is None else flat.unionByName(part)
+    repack_input = flat.select("term", "doc_id", "tf", "dl")
+
+    term_stats = store.load(spark, "term_stats")
+    n_docs = int(meta["n_docs"])
+    packed = build_packed_index(repack_input, term_stats, n_docs, avgdl, cfg)
+    doc_map_out = None
+    if cfg.ordinal_docids:
+        shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
+        doc_map_out = build_doc_map(repack_input.withColumn("shard", shard_col))
+        packed = ordinalize_packed(packed, doc_map_out)
+
+    new_base_seq = max(store.seg_seq(s) for s in meta["segments"])
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+    metrics = {
+        "compaction": "packs",
+        "units_folded": len(units),
+        "elapsed_sec": round(elapsed, 3),
+        "skew_ratio_doc_shard": round(_doc_shard_skew(doc_map_out) or 1.0, 3),
+    }
+    meta_out = dict(meta, packed_base_seq=new_base_seq)
+    return store.commit_snapshot(
+        {
+            "term_stats": term_stats,
+            "packed": packed,
+            "tombstones": store.load(spark, "tombstones"),
+            **({"doc_map": doc_map_out} if doc_map_out is not None else {}),
+        },
+        meta_out,
+        metrics,
+    )
+
+
 def migrate(
     spark: SparkSession,
     store: IndexStore,

@@ -406,3 +406,61 @@ def test_resumable_build_identical(spark, tmp_path):
     fresh = IndexStore(str(tmp_path / "fresh"))
     build_full(spark, docs, fresh, CFG, checkpoint=False)
     assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)
+
+
+def test_compact_packs_folds_units_query_identical(spark, tmp_path):
+    """compact_packs = the Lucene segment-merge for the query structure: many
+    packed units (accumulated by segment-mode updates) fold into one base
+    with NO re-tokenization and NO segment rewrite; queries are identical
+    before and after, and the folded base equals a pinned-avgdl full
+    rebuild's packed frame on the same live corpus."""
+    import os
+
+    from bliss_rs_spark.plans.lifecycle import compact_packs
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 150)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    # three segment-mode updates: grow, mutate, shrink
+    step2 = _docs(spark, 170)
+    update_index(spark, step2, store, CFG, repack="segment")
+    step3 = with_invariants(
+        _docs(spark, 180).withColumn(
+            "content",
+            F.when(F.col("doc_id") % 8 == 0, F.concat(F.col("content"), F.lit("\nzzcpzz")))
+            .otherwise(F.col("content")),
+        ).drop("doc_id", "content_sha256")
+    ).filter(F.col("doc_id") % 23 != 1)
+    update_index(spark, step3, store, CFG, delete_missing=True, repack="segment")
+    assert len(store.packed_units(spark)) >= 3
+
+    queries = ["varbyte merge return", "zzcpzz", "return", "blockMaxScore"]
+    before = {q: [(r["doc_id"], round(r["score"], 9))
+                  for r in query_index(spark, store, q, 12).collect()] for q in queries}
+    seg_dirs = store.meta()["segments"]
+    seg_mtimes = {
+        s: os.stat(os.path.join(store.segments_dir, s, "postings")).st_mtime_ns
+        for s in seg_dirs
+    }
+
+    compact_packs(spark, store)
+    assert len(store.packed_units(spark)) == 1
+    assert store.meta()["segments"] == seg_dirs  # segments untouched
+    assert {
+        s: os.stat(os.path.join(store.segments_dir, s, "postings")).st_mtime_ns
+        for s in seg_dirs
+    } == seg_mtimes
+    after = {q: [(r["doc_id"], round(r["score"], 9))
+                 for r in query_index(spark, store, q, 12).collect()] for q in queries}
+    assert after == before
+
+    # folded base == pinned-avgdl full rebuild's packed frame
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, step3, fresh, CFG, checkpoint=False,
+               avgdl_override=store.meta()["avgdl"])
+    assert _canon_snapshot(spark, store)["packed"] == _canon_snapshot(spark, fresh)["packed"]
+
+    # idempotent no-op when already one unit and no tombstones... (tombstones
+    # remain here, so a second compact still commits but stays single-unit)
+    compact_packs(spark, store)
+    assert len(store.packed_units(spark)) == 1
