@@ -505,17 +505,22 @@ class WandServer:
     job per query — fine for batch scoring, ~seconds of scheduling for a
     single query.  The server instead:
 
-    - caches the packed frame ONCE with file-splitting disabled, so every
-      ``shard=N`` parquet file (one file per shard by construction: the pack
-      writer owns each shard in exactly one task) lands whole in one cached
-      partition — verified at warm-up, with an automatic fallback to the
-      shuffle path if the invariant ever fails;
-    - collects the vocab-sized idf table and the per-shard doc maps to the
-      driver once (both are index metadata, not corpus data);
-    - per query: filter(term isin ...) over the cached partitions ->
-      mapInPandas runs the SAME _wand_shard kernel per complete shard ->
-      collect of (shards x k) rows -> exact driver merge.  No shuffle, no
-      window, one stage.
+    - repartitions the packed frame ONCE by (unit, shard) and caches it, so
+      every shard is wholly inside one partition BY CONSTRUCTION — the
+      invariant survives executor loss + partition recompute (hash
+      partitioning is deterministic), unlike file-layout-based placement,
+      which silently breaks if a lost partition is re-planned under default
+      file-split confs;
+    - collects only the vocab-sized idf table to the driver; per-shard doc
+      maps stay DISTRIBUTED as sentinel rows (term NULL, doc_ids bytes)
+      co-partitioned with their shard's packed rows, and ordinal->doc_id
+      resolution happens map-side inside the kernel.  Driver memory is
+      O(vocab + churn), never O(corpus): at 10^9 docs the doc maps are ~8 GB
+      — collecting them (round-2 design) cannot serve from one driver;
+    - per query: filter(term isin ... or sentinel) over the cached
+      partitions -> mapInPandas runs the SAME _wand_shard kernel per
+      complete shard -> collect of (shards x k) rows -> exact driver merge.
+      No shuffle, no window, one stage.
 
     Latency target (BENCH/BASELINE.md): <500ms warm top-10 on the 1M-doc
     store, vs ~3.3s through the batch path.  Rank-identical to wand_topk
@@ -546,90 +551,61 @@ class WandServer:
         }
         self._units = units
         self._tomb = tombstones or {}
-        from bliss_rs_spark.functions.codec import decode_doc_ids
+        # per-UNIT dead doc_ids (churn-sized; never corpus-sized).  Ordinal
+        # translation happens map-side per shard against that shard's
+        # sentinel doc map — the driver never materializes any doc map.
+        self.dead_by_unit: dict[int, np.ndarray] = {}
+        for seq, _, _ in units:
+            dd = np.sort(np.array(
+                [d for d, bs in self._tomb.items() if bs > seq], dtype=np.int64
+            ))
+            if len(dd):
+                self.dead_by_unit[seq] = dd
 
-        self.doc_maps: dict[tuple[int, int], np.ndarray] = {}
-        for seq, _, dm in units:
+        u = None
+        for seq, p, dm in units:
+            part = p.withColumn("unit", F.lit(int(seq))).withColumn(
+                "doc_ids", F.lit(None).cast("binary")
+            )
+            u = part if u is None else u.unionByName(part)
             if dm is not None:
-                for r in dm.collect():
-                    self.doc_maps[(seq, int(r["shard"]))] = decode_doc_ids(
-                        bytes(r["doc_ids"])
-                    )
-        # per-(unit, shard) dead ids in the unit's own id space (ordinals
-        # when mapped) — precomputed once on the driver, shipped in closures
-        self.dead: dict[tuple[int, int], np.ndarray] = {}
-        if self._tomb:
-            # shard assignment must match Spark's xxhash64 exactly -> one
-            # tiny Spark job over the churn-sized tombstone set at init
-            tdf = spark.createDataFrame(
-                [(int(d), int(bs)) for d, bs in self._tomb.items()],
-                "doc_id long, before_seq int",
-            )
-            shard_rows = tdf.select(
-                "doc_id", "before_seq",
-                F.pmod(F.xxhash64("doc_id"), F.lit(self.cfg.n_doc_shards))
-                .cast("int").alias("s"),
-            ).collect()
-            shard_of: dict[int, list] = {}
-            for r in shard_rows:
-                shard_of.setdefault(int(r["s"]), []).append(
-                    (int(r["doc_id"]), int(r["before_seq"]))
+                # sentinel rows: one per shard, carrying the shard's ordinal
+                # doc map INSIDE the partition that owns the shard's blocks
+                sentinel = dm.select(
+                    "shard",
+                    F.lit(None).cast(
+                        p.schema["term"].dataType
+                    ).alias("term"),
+                    F.lit(None).cast(p.schema["blocks"].dataType).alias("blocks"),
+                    F.lit(int(seq)).alias("unit"),
+                    F.col("doc_ids"),
                 )
-            for seq, _, dm in units:
-                for s, pairs in shard_of.items():
-                    dd = np.sort(np.array(
-                        [d for d, bs in pairs if bs > seq], dtype=np.int64
-                    ))
-                    if not len(dd):
-                        continue
-                    ids = self.doc_maps.get((seq, s))
-                    if ids is not None:
-                        pos = np.searchsorted(ids, dd)
-                        ok = pos < len(ids)
-                        ok[ok] = ids[pos[ok]] == dd[ok]
-                        dd = np.sort(pos[ok]).astype(np.int64)
-                        if not len(dd):
-                            continue
-                    self.dead[(seq, s)] = dd
-
-        # cache with splitting disabled so each shard file stays whole
-        conf = spark.conf
-        old_max = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
-        try:
-            conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
-            conf.set("spark.sql.files.openCostInBytes", "0")
-            u = None
-            for seq, p, _ in units:
-                part = p.withColumn("unit", F.lit(int(seq)))
-                u = part if u is None else u.unionByName(part)
-            # coalesce MERGES file-partitions (never splits them), so shard
-            # completeness is preserved while per-query task-launch overhead
-            # drops from n_files to target_partitions.  Default: the session's
-            # core count — heavy (hot-term) queries keep full parallelism;
-            # pass a small value for tiny stores where task launch dominates.
-            if target_partitions is None:
-                target_partitions = spark.sparkContext.defaultParallelism
-            if target_partitions:
-                u = u.coalesce(target_partitions)
-            self.packed = u.persist()
-            # warm-up + invariant check in one job: every (unit, shard)
-            # wholly in one partition (file-merging keeps files whole; only
-            # a SPLIT file could break shard completeness)
-            placement = (
-                self.packed.groupBy(
-                    F.spark_partition_id().alias("pid"), "unit", "shard"
-                )
-                .count()
-                .groupBy("unit", "shard")
-                .count()
-                .filter(F.col("count") > 1)
-                .count()
+                u = u.unionByName(sentinel, allowMissingColumns=True)
+        # hash-repartition by (unit, shard): every shard lands wholly in one
+        # partition structurally — a recomputed partition (executor loss)
+        # replays the same deterministic exchange, so correctness never
+        # depends on file layout or session confs.  Default partition count:
+        # the session's core count — heavy (hot-term) queries keep full
+        # parallelism; pass a small value for tiny stores where task launch
+        # dominates.
+        if target_partitions is None:
+            target_partitions = spark.sparkContext.defaultParallelism
+        self.packed = u.repartition(
+            max(int(target_partitions), 1), "unit", "shard"
+        ).persist()
+        # warm-up (materializes the cache) + belt-and-suspenders check of the
+        # one-shard-one-partition invariant
+        placement = (
+            self.packed.groupBy(
+                F.spark_partition_id().alias("pid"), "unit", "shard"
             )
-            self.single_stage = placement == 0
-        finally:
-            conf.set("spark.sql.files.maxPartitionBytes", old_max)
-            conf.set("spark.sql.files.openCostInBytes", old_open)
+            .count()
+            .groupBy("unit", "shard")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        self.single_stage = placement == 0
 
     @classmethod
     def from_store(cls, spark: SparkSession, store) -> "WandServer":
@@ -660,31 +636,49 @@ class WandServer:
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
         k1, b, avgdl, kk = self.cfg.k1, self.cfg.b, self.avgdl, k
-        doc_maps = self.doc_maps
-        dead_map = self.dead
+        dead_by_unit = self.dead_by_unit
 
         def kernel(batches):
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
             by_us: dict[tuple[int, int], list] = {}
+            maps: dict[tuple[int, int], bytes] = {}
             for pdf in batches:
-                for unit, shard, term, blocks in zip(
-                    pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"]
+                for unit, shard, term, blocks, doc_ids in zip(
+                    pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"],
+                    pdf["doc_ids"],
                 ):
-                    by_us.setdefault((int(unit), int(shard)), []).append((term, blocks))
+                    us = (int(unit), int(shard))
+                    if term is None:  # sentinel row: this shard's doc map
+                        maps[us] = bytes(doc_ids)
+                    else:
+                        by_us.setdefault(us, []).append((term, blocks))
             out = {"doc_id": [], "score": []}
             for us, rows in by_us.items():
                 rows.sort(key=lambda r: r[0])
+                ids = decode_doc_ids(maps[us]) if us in maps else None
+                dead = dead_by_unit.get(us[0])
+                if dead is not None and ids is not None:
+                    # translate dead doc_ids into this shard's ordinal space
+                    pos = np.searchsorted(ids, dead)
+                    ok = pos < len(ids)
+                    ok[ok] = ids[pos[ok]] == dead[ok]
+                    dead = np.sort(pos[ok]).astype(np.int64)
+                    if not len(dead):
+                        dead = None
                 top = _wand_shard(
                     [(list(blocks), idfs[t]) for t, blocks in rows],
-                    kk, k1, b, avgdl, dead=dead_map.get(us),
+                    kk, k1, b, avgdl, dead=dead,
                 )
-                ids = doc_maps.get(us)
                 for d, s in top:
                     out["doc_id"].append(int(ids[d]) if ids is not None else d)
                     out["score"].append(s)
             yield pd.DataFrame(out)
 
         partials = (
-            self.packed.filter(F.col("term").isin(list(idfs)))
+            self.packed.filter(
+                F.col("term").isin(list(idfs)) | F.col("term").isNull()
+            )
             .mapInPandas(kernel, "doc_id long, score double")
             .collect()
         )

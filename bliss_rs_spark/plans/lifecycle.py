@@ -81,12 +81,19 @@ def _tokenize_with_checkpoint(
     """Tokenize only docs absent from the checkpoint; append; return the
     checkpointed rows restricted to the incoming doc set (J3 anti-join —
     THE resumability move, src/library.rs:1068-1071)."""
+    # content_sha256 is NULL for failed (null-content) docs; a plain equi-join
+    # would silently drop them from the checkpoint round-trip (they'd be
+    # re-tokenized forever AND vanish from the errors ledger) — join on a
+    # null-safe sentinel key instead.
+    sha_key = F.coalesce(F.col("content_sha256"), F.lit("\x00<null>"))
     ckpt = store.load_checkpoint(spark)
     if ckpt is not None:
         done = ckpt.filter(F.col("analyzer_version") == cfg.analyzer_version).select(
-            "doc_id", "content_sha256"
+            "doc_id", sha_key.alias("_sha_key")
         )
-        todo = docs.join(done, ["doc_id", "content_sha256"], "left_anti")
+        todo = docs.withColumn("_sha_key", sha_key).join(
+            done, ["doc_id", "_sha_key"], "left_anti"
+        ).drop("_sha_key")
     else:
         todo = docs
     if todo.limit(1).count() > 0:
@@ -97,9 +104,13 @@ def _tokenize_with_checkpoint(
     ckpt = store.load_checkpoint(spark)
     # restrict to the incoming corpus (checkpoint may hold rows from docs
     # that have since vanished) and to the current analyzer version
-    return ckpt.filter(F.col("analyzer_version") == cfg.analyzer_version).join(
-        docs.select("doc_id", "content_sha256"), ["doc_id", "content_sha256"], "left_semi"
-    )
+    return ckpt.filter(F.col("analyzer_version") == cfg.analyzer_version).withColumn(
+        "_sha_key", sha_key
+    ).join(
+        docs.select("doc_id", sha_key.alias("_sha_key")),
+        ["doc_id", "_sha_key"],
+        "left_semi",
+    ).drop("_sha_key")
 
 
 def _manifest_rows(doc_stats: DataFrame, errors: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -547,7 +558,15 @@ def update_index(
                 ~F.col("shard").isin(delta_shards)
             ).unionByName(doc_map_delta)
         carry_shards = [s for s in base_shards if s not in set(delta_shards)]
-        base_seq_new = next_seq
+        # advance the base watermark ONLY to a segment actually written: a
+        # delete-only update (n_delta == 0) reserves next_seq for tombstones
+        # but writes no seg_{next_seq} dir, so next_segment_name() would hand
+        # that seq to the NEXT real segment — and a base watermark already
+        # sitting at next_seq would make packed_units() skip its pack
+        # (strict seg_seq > base_seq) and WAND silently serve stale rows.
+        # The repack itself already dropped the removed docs physically, so
+        # keeping the old watermark is exact.
+        base_seq_new = next_seq if n_delta > 0 else base_seq_old
     else:
         if new_postings is not None:
             seg_packed = build_packed_index(

@@ -79,6 +79,23 @@ def _link_tree(src: str, dst: str) -> None:
             os.link(entry.path, d)
 
 
+def _ensure_schema_file(df: DataFrame, out: str) -> None:
+    """Guarantee ``out`` holds at least one schema-bearing parquet file.
+
+    An empty frame (all-failed batch, empty delta, segment-mode packed
+    placeholder) coalesced by AQE to zero tasks writes only _SUCCESS; the
+    next read of that directory then fails on schema inference.  When no
+    part file landed, write the (empty) frame again via one forced task —
+    the one-row-group file costs nothing and keeps every segment/snapshot
+    frame independently readable."""
+    for root, _dirs, files in os.walk(out):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    df.sparkSession.createDataFrame([], df.schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
 class IndexStore:
     def __init__(self, path: str):
         self.path = path
@@ -203,6 +220,7 @@ class IndexStore:
                     df.repartition(1).write.mode("overwrite").parquet(out)
                 else:
                     df.write.mode("overwrite").parquet(out)
+                _ensure_schema_file(df, out)
             final = os.path.join(self.segments_dir, name)
             os.replace(stage, final)
         except BaseException:
@@ -231,6 +249,13 @@ class IndexStore:
         unit per referenced segment that carries its own pack.  Query side:
         operators/wand.py:wand_topk_units."""
         meta = self.meta()
+        if "segments" not in meta:
+            # layout-1 (pre-segment) snapshot: one unit, no segment packs, no
+            # tombstones frame — callers like WandServer.from_store and
+            # query_index_batch work unchanged on old stores.
+            dm_dir = os.path.join(self.snapshot_dir(), "doc_map")
+            return [(0, self.load(spark, "packed"),
+                     spark.read.parquet(dm_dir) if os.path.isdir(dm_dir) else None)]
         base_seq = int(meta.get("packed_base_seq", 0))
         units = [(base_seq, self.load(spark, "packed"),
                   self.load(spark, "doc_map")
@@ -248,7 +273,10 @@ class IndexStore:
         return units
 
     def tombstone_dict(self, spark: SparkSession) -> dict[int, int]:
-        """{doc_id: before_seq} — churn-sized, safe to collect."""
+        """{doc_id: before_seq} — churn-sized, safe to collect.  Empty for
+        layout-1 stores (which have no tombstones frame on disk)."""
+        if "segments" not in self.meta():
+            return {}
         return {
             int(r["doc_id"]): int(r["before_seq"])
             for r in self.load(spark, "tombstones").collect()
@@ -298,6 +326,11 @@ class IndexStore:
                     src = os.path.join(src_root, f"shard={sid}")
                     if os.path.isdir(src):
                         _link_tree(src, os.path.join(dst_root, f"shard={sid}"))
+            # after carry-linking, so a packed dir populated by links never
+            # gets a root-level schema file (which would conflict with the
+            # shard= partition layout on read)
+            for fname, df in frames.items():
+                _ensure_schema_file(df, os.path.join(stage, fname))
             with open(os.path.join(stage, "config.json"), "w") as f:
                 json.dump(meta, f, indent=2, sort_keys=True)
             with open(os.path.join(stage, "metrics.json"), "w") as f:

@@ -286,6 +286,111 @@ def test_wand_server_over_segment_store(spark, tmp_path):
     server.close()
 
 
+def test_delete_only_update_then_add_not_stale(spark, tmp_path):
+    """Regression (round-3 advice, high): a delete-only merge update writes
+    NO segment but used to advance packed_base_seq to the reserved (unused)
+    seq; the next real segment then reused that seq, packed_units() skipped
+    its pack (strict seg_seq > base_seq), and WAND/serve silently missed the
+    new docs while serving stale superseded rows."""
+    from bliss_rs_spark.operators.wand import WandServer
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 100)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+
+    # delete-only merge update: n_delta == 0, so no segment is written
+    shrunk = docs.filter(F.col("doc_id") % 5 != 0)
+    update_index(spark, shrunk, store, CFG, delete_missing=True)
+    assert len(store.meta()["segments"]) == 1
+    assert store.meta()["packed_base_seq"] == 1  # NOT the reserved seq 2
+
+    # now a real update: new docs + changed docs, in its own segment pack
+    docs_c = with_invariants(
+        _docs(spark, 120).withColumn(
+            "content",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("content"), F.lit("\nzzstalezz")))
+            .otherwise(F.col("content")),
+        ).drop("doc_id", "content_sha256")
+    ).filter(F.col("doc_id") % 5 != 0)
+    update_index(spark, docs_c, store, CFG, repack="segment")
+    assert len(store.packed_units(spark)) == 2  # the new unit is VISIBLE
+
+    # the new segment's docs must be served (not silently missing/stale)
+    got = query_index(spark, store, "zzstalezz", 50, use_wand=True).collect()
+    exp = query_index(spark, store, "zzstalezz", 50, use_wand=False).collect()
+    assert len(got) > 0
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in exp]
+    server = WandServer.from_store(spark, store)
+    assert [d for d, _ in server.query("zzstalezz", 50)] == [r["doc_id"] for r in got]
+    server.close()
+
+
+def test_layout1_store_batch_and_server(spark, tmp_path):
+    """Regression (round-3 advice, low): query_index_batch and
+    WandServer.from_store on a layout-1 (pre-segment) store must not crash
+    on the missing tombstones frame."""
+    import json
+    import os
+    import shutil
+
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import query_index_batch
+
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 80), store, CFG, checkpoint=False)
+    # rewrite the snapshot as layout-1: no segment bookkeeping, no tombstones
+    snap = store.snapshot_dir()
+    meta = store.meta()
+    seg = meta["segments"][0]
+    for frame in ("postings", "doc_stats", "manifest", "errors"):
+        shutil.copytree(
+            os.path.join(store.segments_dir, seg, frame),
+            os.path.join(snap, frame),
+        )
+    shutil.rmtree(os.path.join(snap, "tombstones"))
+    for k in ("segments", "packed_base_seq", "layout"):
+        meta.pop(k, None)
+    with open(os.path.join(snap, "config.json"), "w") as f:
+        json.dump(meta, f)
+
+    assert store.tombstone_dict(spark) == {}
+    units = store.packed_units(spark)
+    assert len(units) == 1 and units[0][0] == 0
+    rows = query_index_batch(spark, store, [(1, "varbyte merge return", 5)]).collect()
+    assert len(rows) == 5
+    server = WandServer.from_store(spark, store)
+    got = server.query("varbyte merge return", 5)
+    exp = query_index(spark, store, "varbyte merge return", 5, use_wand=False).collect()
+    assert [d for d, _ in got] == [r["doc_id"] for r in exp]
+    server.close()
+
+
+def test_all_failed_update_batch_keeps_store_readable(spark, tmp_path):
+    """Regression (round-3 advice, low): an update whose delta ALL fails
+    tokenization writes empty postings/doc_stats segment frames; those must
+    still be schema-readable (empty frames can otherwise be coalesced to
+    zero parquet files)."""
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 60)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+
+    poisoned = with_invariants(
+        spark.createDataFrame(
+            [("r_poison", f"p{i}.rs", "c0", "rust", None) for i in range(5)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    update_index(spark, docs.unionByName(poisoned), store, CFG)
+
+    # every frame still readable; failed docs in the ledger; queries fine
+    assert store.load(spark, "errors").count() >= 1
+    assert store.load(spark, "postings").count() > 0
+    assert store.meta()["n_docs"] == 60
+    assert len(query_index(spark, store, "return", 3).collect()) == 3
+
+
 def test_version_sanity_refusal(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     build_full(spark, _docs(spark, 60), store, CFG, checkpoint=False)
