@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
                                         "(segment-merge for the query structure; "
                                         "no re-tokenize, no postings rewrite)")
     cp.add_argument("--index", required=True)
+    cp.add_argument("--full", action="store_true",
+                    help="FULL compaction from the tokenize checkpoint: fold "
+                         "segments, clear tombstones, re-pin avgdl")
+
+    mt = sub.add_parser("maintain", help="run the tiered maintenance ladder once "
+                                         "(no-op when under the config thresholds)")
+    mt.add_argument("--index", required=True)
 
     mg = sub.add_parser("migrate", help="re-analyze the store at a newer analyzer_version")
     mg.add_argument("--index", required=True)
@@ -176,10 +183,19 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "compact":
-            from bliss_rs_spark.plans.lifecycle import compact_packs
+            from bliss_rs_spark.plans.lifecycle import compact_full, compact_packs
 
-            name = compact_packs(spark, store)
-            print(json.dumps({"snapshot": name,
+            name = (compact_full if args.full else compact_packs)(spark, store)
+            print(json.dumps({"snapshot": name, "full": bool(args.full),
+                              "units": len(store.packed_units(spark))}))
+            return 0
+
+        if args.cmd == "maintain":
+            from bliss_rs_spark.plans.lifecycle import maintain
+
+            actions = maintain(spark, store)
+            print(json.dumps({"actions": actions,
+                              "snapshot": store.current_snapshot(),
                               "units": len(store.packed_units(spark))}))
             return 0
 

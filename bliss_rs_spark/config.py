@@ -48,6 +48,15 @@ class IndexConfig:
     hot_term_df_ratio: float = 0.02
     n_salts: int = 8
 
+    # Tiered maintenance ladder (the Lucene merge-policy analogue), applied
+    # by plans.lifecycle.maintain() after every update: fold packed units
+    # into one base when segment-mode updates have stacked more than
+    # ``compact_max_units`` of them; full checkpoint rebuild (segments
+    # folded, tombstones cleared, avgdl re-pinned) when tombstones exceed
+    # ``compact_max_tombstone_ratio`` x n_docs.  <= 0 disables a rung.
+    compact_max_units: int = 8
+    compact_max_tombstone_ratio: float = 0.25
+
     # Persist positional postings (term, doc_id, positions) alongside the
     # bag-of-words index so the store can answer exact phrase queries.
     # Off by default: positions roughly double index size.

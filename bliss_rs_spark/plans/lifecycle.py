@@ -113,6 +113,44 @@ def _tokenize_with_checkpoint(
     ).drop("_sha_key")
 
 
+def _removed_flat_from_checkpoint(
+    spark: SparkSession,
+    store: IndexStore,
+    removed: DataFrame,
+    done_ok: DataFrame,
+    cfg: IndexConfig,
+) -> DataFrame | None:
+    """Removed docs' flat postings (term, doc_id, tf, dl), recovered from the
+    tokenize CHECKPOINT instead of decoding packed units — the O(delta)-jobs
+    df/sum_dl-decrement path for segment-mode updates (round-2 residual #4).
+
+    One column-pruned scan of the checkpoint (doc_id, sha, terms, tfs, dl),
+    semi-joined to the removed docs' CURRENT live content (manifest ok sha),
+    so stale rows of since-changed docs are ignored.  Returns None when the
+    store has no checkpoint; the caller verifies coverage (a store built
+    with checkpoint=False at some point may miss docs) and falls back to the
+    packed-decode path."""
+    ckpt = store.load_checkpoint(spark)
+    if ckpt is None:
+        return None
+    live = done_ok.join(F.broadcast(removed), "doc_id", "left_semi")
+    rows = (
+        ckpt.filter(
+            (F.col("analyzer_version") == cfg.analyzer_version)
+            & F.col("error").isNull()
+        )
+        .join(F.broadcast(live), ["doc_id", "content_sha256"], "left_semi")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("t"))
+    )
+    return rows.select(
+        F.col("t.terms").alias("term"),
+        "doc_id",
+        F.col("t.tfs").alias("tf"),
+        "dl",
+    )
+
+
 def _manifest_rows(doc_stats: DataFrame, errors: DataFrame, cfg: IndexConfig) -> DataFrame:
     return doc_stats.select(
         "doc_id",
@@ -267,6 +305,8 @@ def update_index(
     delete_missing: bool = False,
     repack: str = "merge",
     checkpoint: bool = True,
+    df_source: str = "auto",
+    auto_maintain: bool = True,
 ) -> str:
     """Incremental update, O(delta) in shuffle and write:
 
@@ -311,6 +351,19 @@ def update_index(
     inherits the INDEX's persisted config — layout options like
     store_positions/ordinal_docids are properties of the store, and silently
     changing them mid-stream would drop frames.
+
+    ``df_source`` picks where segment-mode updates get removed docs' exact
+    df/dl deltas: 'checkpoint' explodes the removed docs' tokenize-checkpoint
+    rows (one column-pruned scan, NO packed-unit decode — the O(delta)-jobs
+    path); 'packed' decodes the removed shards of every unit (partition-
+    pruned, read-only); 'auto' (default) uses the checkpoint when it covers
+    every removed doc and falls back to decode otherwise.
+
+    ``auto_maintain`` runs the tiered maintenance ladder (``maintain``) after
+    the commit — the reference runs its maintenance inline on every update
+    (/root/reference/src/library.rs:1040-1084); Lucene's analogue is the
+    tiered merge policy.  Thresholds live in IndexConfig; a no-op when under
+    them.
     """
     import os
 
@@ -411,7 +464,7 @@ def update_index(
     # --- packed policy ----------------------------------------------------------
     assert repack in ("merge", "segment"), repack
     units = store.packed_units(spark)
-    old_tomb = store.tombstone_dict(spark)
+    old_tomb_df = store.load(spark, "tombstones")  # churn-sized; broadcast below
     if repack == "merge" and len(units) > 1:
         repack = "segment"  # outstanding segment units: see docstring
 
@@ -419,17 +472,17 @@ def update_index(
     base_seq_old = int(meta.get("packed_base_seq", 0))
     old_doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
     to_unpersist = []
+    df_src_used = None
 
     if repack == "merge":
         # docs already tombstone-dead in the base (pure deletes of past
         # segment-mode updates) must be dropped by this repack too, and
         # their shards count as touched — else carried shards resurrect them
-        base_dead = [d for d, bs in old_tomb.items() if bs > base_seq_old]
-        removed_eff = removed
-        if base_dead:
-            removed_eff = removed_eff.unionByName(
-                spark.createDataFrame([(int(d),) for d in base_dead], "doc_id long")
-            ).distinct()
+        # (broadcast anti/union joins, never a driver-side id list)
+        base_dead_ids = old_tomb_df.filter(
+            F.col("before_seq") > F.lit(base_seq_old)
+        ).select("doc_id")
+        removed_eff = removed.unionByName(base_dead_ids).distinct()
         touched = removed_eff
         if new_postings is not None:
             touched = touched.unionByName(
@@ -457,32 +510,59 @@ def update_index(
             )
     else:
         # segment mode: NOTHING old is repacked.  Removed docs' postings are
-        # still needed for exact df/sum_dl deltas: decode only the removed
-        # docs' shards of each unit (partition-pruned, read-only), restricted
-        # to docs LIVE in that unit (docs dead there were already discounted
-        # when they were tombstoned).
+        # still needed for exact df/sum_dl deltas — preferred source is the
+        # tokenize checkpoint (one scan, no unit decode); fallback decodes
+        # only the removed docs' shards of each unit (partition-pruned,
+        # read-only), restricted to docs LIVE in that unit (docs dead there
+        # were already discounted when they were tombstoned).
+        assert df_source in ("auto", "checkpoint", "packed"), df_source
         delta_shards = []
         removed_flat = None
         if n_removed > 0:
-            rem_shards = sorted(
-                r[0] for r in removed.select(shard_col.alias("s")).distinct().collect()
-            )
-            for seq, packed_df, dm_df in units:
-                dead_ids = [d for d, bs in old_tomb.items() if bs > seq]
-                live_rem = removed
-                if dead_ids:
-                    live_rem = live_rem.filter(~F.col("doc_id").isin(dead_ids))
-                part = unpack_postings(
-                    packed_df.filter(F.col("shard").isin(rem_shards)),
-                    dm_df.filter(F.col("shard").isin(rem_shards))
-                    if dm_df is not None
-                    else None,
-                ).join(F.broadcast(live_rem), "doc_id", "left_semi")
-                removed_flat = (
-                    part if removed_flat is None else removed_flat.unionByName(part)
+            if df_source in ("auto", "checkpoint") and checkpoint:
+                ckpt_flat = _removed_flat_from_checkpoint(
+                    spark, store, removed, done_ok, cfg
                 )
-            removed_flat = removed_flat.cache()
-            to_unpersist.append(removed_flat)
+                if ckpt_flat is not None:
+                    ckpt_flat = ckpt_flat.cache()
+                    n_cover = ckpt_flat.select("doc_id").distinct().count()
+                    if n_cover == n_removed_ok:
+                        removed_flat = ckpt_flat
+                        to_unpersist.append(ckpt_flat)
+                        df_src_used = "checkpoint"
+                    else:
+                        ckpt_flat.unpersist()
+                if removed_flat is None and df_source == "checkpoint":
+                    raise ValueError(
+                        "df_source='checkpoint' but the tokenize checkpoint "
+                        "does not cover every removed doc; use 'auto' or 'packed'"
+                    )
+            if removed_flat is None:
+                rem_shards = sorted(
+                    r[0] for r in removed.select(shard_col.alias("s")).distinct().collect()
+                )
+                for seq, packed_df, dm_df in units:
+                    live_rem = removed.join(
+                        F.broadcast(
+                            old_tomb_df.filter(
+                                F.col("before_seq") > F.lit(int(seq))
+                            ).select("doc_id")
+                        ),
+                        "doc_id",
+                        "left_anti",
+                    )
+                    part = unpack_postings(
+                        packed_df.filter(F.col("shard").isin(rem_shards)),
+                        dm_df.filter(F.col("shard").isin(rem_shards))
+                        if dm_df is not None
+                        else None,
+                    ).join(F.broadcast(live_rem), "doc_id", "left_semi")
+                    removed_flat = (
+                        part if removed_flat is None else removed_flat.unionByName(part)
+                    )
+                removed_flat = removed_flat.cache()
+                to_unpersist.append(removed_flat)
+                df_src_used = "packed_decode"
         else:
             removed_flat = spark.createDataFrame(
                 [], "shard int, term string, doc_id long, tf long, dl long"
@@ -593,6 +673,7 @@ def update_index(
         "n_docs": n_docs,
         "n_postings": n_postings,
         "repack_mode": repack,
+        **({"df_source": df_src_used} if df_src_used else {}),
         "n_shards_repacked": len(delta_shards),
         "n_shards_carried": len(carry_shards),
         "n_packed_units": len(units) + (1 if repack == "segment" and n_delta > 0 else 0),
@@ -629,6 +710,10 @@ def update_index(
     )
     for df in to_unpersist:
         df.unpersist()
+    if auto_maintain:
+        maintained = maintain(spark, store)
+        if maintained:
+            name = store.current_snapshot()
     return name
 
 
@@ -654,16 +739,22 @@ def compact_packs(spark: SparkSession, store: IndexStore) -> str:
     cfg = store.config()
     avgdl = float(meta["avgdl"])
     units = store.packed_units(spark)
-    if len(units) == 1 and not store.tombstone_dict(spark):
+    tomb_df = store.load(spark, "tombstones")
+    if len(units) == 1 and tomb_df.limit(1).count() == 0:
         return store.current_snapshot()
-    old_tomb = store.tombstone_dict(spark)
 
     flat = None
     for seq, packed_df, dm_df in units:
         part = unpack_postings(packed_df, dm_df)
-        dead_ids = [d for d, bs in old_tomb.items() if bs > seq]
-        if dead_ids:
-            part = part.filter(~F.col("doc_id").isin(dead_ids))
+        # drop this unit's dead docs via a broadcast anti-join (tombstones
+        # are churn-sized) — never a driver-side isin list
+        part = part.join(
+            F.broadcast(
+                tomb_df.filter(F.col("before_seq") > F.lit(int(seq))).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
         flat = part if flat is None else flat.unionByName(part)
     repack_input = flat.select("term", "doc_id", "tf", "dl")
 
@@ -695,6 +786,120 @@ def compact_packs(spark: SparkSession, store: IndexStore) -> str:
         meta_out,
         metrics,
     )
+
+
+def compact_full(spark: SparkSession, store: IndexStore) -> str:
+    """FULL compaction without re-supplying the corpus: rebuild from the
+    tokenize checkpoint's live rows (the same doc-recovery move as migrate,
+    at the same analyzer version) — folds every segment into one, clears
+    tombstones, re-pins avgdl to the exact running value.  Requires a store
+    maintained with checkpoint=True (the default); zero re-tokenization (the
+    rebuild's checkpoint anti-join skips every doc)."""
+    meta = store.meta()
+    cfg = store.config()
+    ckpt = store.load_checkpoint(spark)
+    if ckpt is None:
+        raise ValueError(
+            "compact_full needs the tokenize checkpoint; this store has none "
+            "— run build_full(docs=<corpus>) instead"
+        )
+    v = int(meta["analyzer_version"])
+    live = store.load(spark, "manifest").filter(
+        (F.col("status") == "ok") & (F.col("analyzer_version") == v)
+    ).select("doc_id", "content_sha256")
+    docs = (
+        ckpt.filter((F.col("analyzer_version") == v) & F.col("error").isNull())
+        .select(
+            "repo", "path", "commit", "lang", "content",
+            "doc_id", "content_sha256",
+        )
+        .join(live, ["doc_id", "content_sha256"], "left_semi")
+        .dropDuplicates(["doc_id", "content_sha256"])
+    ).cache()
+    # coverage guard: a store built with checkpoint=False but updated with
+    # checkpoint=True has a PARTIAL checkpoint — rebuilding from it would
+    # silently drop every non-checkpointed doc.  Refuse instead.
+    n_cover, n_live = docs.count(), live.count()
+    if n_cover != n_live:
+        docs.unpersist()
+        raise ValueError(
+            f"tokenize checkpoint covers {n_cover}/{n_live} live docs; "
+            "refusing a lossy full compaction — run build_full(docs=<corpus>)"
+        )
+    name = build_full(spark, docs, store, cfg, checkpoint=True)
+    docs.unpersist()
+    return name
+
+
+def _n_packed_units(store: IndexStore) -> int:
+    """Unit count from meta + directory probes only — no Spark reads, so the
+    per-update maintenance check costs microseconds."""
+    import os
+
+    meta = store.meta()
+    base_seq = int(meta.get("packed_base_seq", 0))
+    n = 1
+    for seg in meta.get("segments", []):
+        if IndexStore.seg_seq(seg) > base_seq and os.path.isdir(
+            os.path.join(store.segments_dir, seg, "packed")
+        ):
+            n += 1
+    return n
+
+
+def maintain(
+    spark: SparkSession,
+    store: IndexStore,
+    max_units: int | None = None,
+    max_tombstone_ratio: float | None = None,
+) -> list[str]:
+    """Tiered maintenance ladder (the Lucene merge-policy analogue), run
+    automatically after every update_index commit — the reference runs its
+    maintenance inline on every library update
+    (/root/reference/src/library.rs:1040-1084).  A streaming store therefore
+    never accretes units/tombstones unboundedly (round-2 residual #2).
+
+    rung 1 — packed-unit fan-out: more than cfg.compact_max_units units
+      (accumulated by segment-mode / streaming micro-batch updates) ->
+      compact_packs folds them into one base.  O(total packed bytes), no
+      re-tokenization, segments untouched.
+    rung 2 — tombstone churn: tombstones exceeding
+      cfg.compact_max_tombstone_ratio * n_docs -> compact_full rebuilds from
+      the checkpoint (folds segments, clears tombstones, re-pins avgdl) —
+      this also bounds every churn-sized driver structure (tombstone_dict,
+      WAND dead sets).  Skipped when the store has no checkpoint (rung 1
+      still applies).
+
+    Thresholds <= 0 disable a rung.  Returns the actions taken ([] = store
+    healthy; the common case — two directory probes and one tiny count)."""
+    meta = store.meta()
+    if "segments" not in meta:
+        return []
+    cfg = store.config()
+    if max_units is None:
+        max_units = cfg.compact_max_units
+    if max_tombstone_ratio is None:
+        max_tombstone_ratio = cfg.compact_max_tombstone_ratio
+    actions: list[str] = []
+    n_docs = max(int(meta.get("n_docs", 0)), 1)
+    n_tomb = store.load(spark, "tombstones").count()
+    if (
+        max_tombstone_ratio > 0
+        and n_tomb > max_tombstone_ratio * n_docs
+        and store.has_checkpoint()
+    ):
+        try:
+            compact_full(spark, store)
+            return ["compact_full"]  # subsumes rung 1: 1 unit, 0 tombstones
+        except ValueError:
+            # partial checkpoint (store once built/updated with
+            # checkpoint=False): a lossy rebuild is refused — fall through
+            # to rung 1; the operator owns running build_full(docs).
+            pass
+    if max_units > 0 and _n_packed_units(store) > max_units:
+        compact_packs(spark, store)
+        actions.append("compact_packs")
+    return actions
 
 
 def migrate(

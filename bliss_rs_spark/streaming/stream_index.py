@@ -38,6 +38,7 @@ def stream_documents_to_index(
     store: IndexStore,
     cfg: IndexConfig | None = None,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 4,
 ):
     """Start a file-source stream over ``input_dir`` (parquet document
     batches); every micro-batch upserts into the index store.  Returns the
@@ -51,7 +52,7 @@ def stream_documents_to_index(
     # path inside update_index defaults to IndexConfig() on its own.
     incoming = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -62,7 +63,9 @@ def stream_documents_to_index(
             return
         # segment repack: each micro-batch appends one delta-sized segment
         # pack and hard-links the whole base — O(batch) writes per trigger.
-        # Periodic build_full compacts the accumulated units.
+        # update_index's auto-maintenance ladder (plans.lifecycle.maintain)
+        # bounds unit fan-out and tombstone churn, so a long-running stream
+        # self-compacts instead of accreting units until someone remembers.
         update_index(batch_df.sparkSession, batch_df, store, cfg, repack="segment")
 
     writer = incoming.writeStream.foreachBatch(sink).outputMode("append")

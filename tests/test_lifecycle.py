@@ -513,6 +513,106 @@ def test_resumable_build_identical(spark, tmp_path):
     assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)
 
 
+def test_segment_update_df_source_checkpoint_exact(spark, tmp_path):
+    """Segment-mode updates on a checkpointed store take their exact
+    df/sum_dl decrements from the tokenize checkpoint (no packed-unit
+    decode) — and the resulting snapshot is IDENTICAL to the packed-decode
+    path's (term_stats, packed, meta)."""
+    import json
+    import os
+
+    stores = {}
+    for src in ("checkpoint", "packed"):
+        store = IndexStore(str(tmp_path / f"idx_{src}"))
+        docs = _docs(spark, 150)
+        build_full(spark, docs, store, CFG)  # checkpoint=True default
+        delta = with_invariants(
+            _docs(spark, 165).withColumn(
+                "content",
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.concat(F.col("content"), F.lit("\nzzdfszz")))
+                .otherwise(F.col("content")),
+            ).drop("doc_id", "content_sha256")
+        ).filter(F.col("doc_id") % 13 != 2)
+        update_index(spark, delta, store, None, delete_missing=True,
+                     repack="segment", df_source=src, auto_maintain=False)
+        with open(os.path.join(store.snapshot_dir(), "metrics.json")) as f:
+            m = json.load(f)
+        assert m["df_source"] == ("checkpoint" if src == "checkpoint" else "packed_decode")
+        assert m["docs_removed"] > 0
+        stores[src] = store
+
+    a, b = stores["checkpoint"], stores["packed"]
+    canon_a, canon_b = _canon_snapshot(spark, a), _canon_snapshot(spark, b)
+    assert canon_a == canon_b
+    assert a.meta()["n_docs"] == b.meta()["n_docs"]
+    assert a.meta()["sum_dl"] == b.meta()["sum_dl"]
+
+
+def test_auto_maintain_folds_units(spark, tmp_path):
+    """update_index auto-runs the maintenance ladder: a stream of
+    segment-mode updates may never stack more than compact_max_units packed
+    units — the store self-compacts (round-2 residual: nothing triggered
+    compact_packs)."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, compact_max_units=3)
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 80), store, cfg)
+    for n in (90, 100, 110, 120, 130):
+        update_index(spark, _docs(spark, n), store, None, repack="segment")
+        assert len(store.packed_units(spark)) <= 3  # ladder ran post-commit
+    # at least one fold actually happened and queries stayed exact
+    assert len(store.packed_units(spark)) <= 3
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, _docs(spark, 130), fresh, cfg, checkpoint=False,
+               avgdl_override=store.meta()["avgdl"])
+    for q in ["varbyte merge return", "return"]:
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in query_index(spark, store, q, 10).collect()]
+        exp = [(r["doc_id"], round(r["score"], 9))
+               for r in query_index(spark, fresh, q, 10).collect()]
+        assert got == exp, q
+
+
+def test_auto_maintain_tombstone_full_compact(spark, tmp_path):
+    """Churn rung: when tombstones exceed compact_max_tombstone_ratio x
+    n_docs, the store full-compacts FROM ITS OWN CHECKPOINT — segments fold
+    to one, tombstones clear, avgdl re-pins — without the caller re-supplying
+    the corpus."""
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 100)
+    build_full(spark, docs, store, CFG)
+    shrunk = docs.filter(F.col("doc_id") % 3 != 0)  # drop ~33% > 25% ratio
+    update_index(spark, shrunk, store, None, delete_missing=True, repack="segment")
+    # the post-commit ladder ran compact_full: clean single-segment store
+    assert store.load(spark, "tombstones").count() == 0
+    assert len(store.meta()["segments"]) == 1
+    assert len(store.packed_units(spark)) == 1
+    n_live = shrunk.count()
+    assert store.meta()["n_docs"] == n_live
+    assert store.meta()["avgdl"] == store.meta()["avgdl_exact"]  # re-pinned
+    # identical to a from-scratch build of the surviving corpus
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, shrunk, fresh, CFG, checkpoint=False)
+    assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)
+
+
+def test_compact_full_refuses_partial_checkpoint(spark, tmp_path):
+    """A store whose checkpoint covers only part of the corpus (built with
+    checkpoint=False, updated with checkpoint=True) must REFUSE a full
+    compaction — rebuilding from the partial checkpoint would silently drop
+    every non-checkpointed doc."""
+    from bliss_rs_spark.plans.lifecycle import compact_full
+
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 80), store, CFG, checkpoint=False)
+    update_index(spark, _docs(spark, 90), store, CFG, repack="segment")
+    with pytest.raises(ValueError, match="lossy full compaction"):
+        compact_full(spark, store)
+    assert store.meta()["n_docs"] == 90  # nothing lost
+
+
 def test_compact_packs_folds_units_query_identical(spark, tmp_path):
     """compact_packs = the Lucene segment-merge for the query structure: many
     packed units (accumulated by segment-mode updates) fold into one base

@@ -42,6 +42,33 @@ def test_stream_documents_to_index(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_stream_self_compacts(spark, tmp_path):
+    """A long-running stream must not accrete packed units without bound:
+    the auto-maintenance ladder inside update_index folds them whenever the
+    count crosses cfg.compact_max_units (round-2 residual #2)."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, compact_max_units=2)
+    in_dir = str(tmp_path / "in")
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = synth_documents(spark, 90, seed=7).cache()
+    for i in range(5):
+        docs.filter(F.pmod(F.xxhash64("path"), F.lit(5)) == i).repartition(
+            1
+        ).write.parquet(f"{in_dir}/b{i}")
+    q = stream_documents_to_index(
+        spark, in_dir + "/*", store, cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.meta()["n_docs"] == 90
+    assert len(store.packed_units(spark)) <= 2  # self-compacted, never 5
+    assert len(query_index(spark, store, "return", 5).collect()) == 5
+
+
 def test_running_user_stats_stateful(spark, tmp_path):
     """Custom stateful operator: state accumulates across two micro-batches."""
     from bliss_rs_spark.streaming.stream_index import running_user_stats
