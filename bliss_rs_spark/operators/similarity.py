@@ -80,28 +80,52 @@ def hyperplanes(n_planes: int = 12, seed: int = 7, dim: int = 64) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame,
+def auto_lsh_params(
+    n_vectors: int,
     cosine_threshold: float = 0.95,
-    n_planes: int = 12,
-    bands: int = 4,
-    seed: int = 7,
-    dim: int = 64,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH.
+    recall_target: float = 0.8,
+    target_bucket_size: int = 64,
+    min_rows: int = 3,
+    max_rows: int = 24,
+) -> tuple[int, int]:
+    """(n_planes, bands) scaled to corpus size — the round-2 parameter risk:
+    a FIXED r=3 planes/band gives only 8 buckets/band, so candidate pairs
+    grow ~n^2/128 and the bucket join explodes at corpus scale.
 
-    The n_planes sign bits are split into ``bands`` bands of
-    n_planes/bands planes; vectors agreeing on ALL bits of ANY band become a
-    candidate pair (union over band buckets, distinct), then the exact cosine
-    filter verifies.  Banding trades precision for recall exactly like the
-    MinHash banding path (operators/dedup.py): requiring all 12 signs in one
-    bucket finds only near-identical vectors, while 4 bands x 3 planes admit
-    a pair if any 3-plane projection agrees — P[candidate] =
-    1-(1-p^r)^b with p = 1 - theta/pi.  Emitted pairs are exact (verified);
-    recall < 1 only from vectors where every band has a sign flip.
-    """
+    rows/band r is chosen so each band has ~n/target_bucket_size buckets
+    (2^r >= n / target_bucket_size): expected bucket size stays ~constant
+    and candidate pairs grow ~O(n * target_bucket_size * bands), linear in
+    n.  bands then come from the S-curve P[candidate] = 1-(1-p^r)^b with
+    p = 1 - theta/pi (theta = arccos(threshold)): the smallest b reaching
+    ``recall_target`` at the threshold.  r is capped (p^r underflow makes b
+    explode); past the cap, grow target_bucket_size instead — verification
+    cost per vector rises, but stays linear."""
+    import math
+
+    n = max(int(n_vectors), 1)
+    r = int(math.ceil(math.log2(max(n / max(target_bucket_size, 1), 2.0))))
+    r = max(min_rows, min(max_rows, r))
+    p = 1.0 - math.acos(min(max(cosine_threshold, -1.0), 1.0)) / math.pi
+    pr = p**r
+    if pr >= 1.0:
+        b = 1
+    else:
+        b = int(math.ceil(math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - pr)))
+    return r * max(b, 1), max(b, 1)
+
+
+def _banded_keys(
+    emb: DataFrame,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, bkey) — each vector's per-band bucket key (the sign bits
+    of its band's hyperplane projections).  Shared by the pair search and
+    the bucket-size metrics so both see exactly the same bucketing."""
     assert n_planes % bands == 0
     rows_per_band = n_planes // bands
     planes = hyperplanes(n_planes, seed, dim)
@@ -119,6 +143,82 @@ def embedding_neardup_pairs(
             F.col(id_col), F.lit(bi).alias("band"), key.alias("bkey")
         )
         banded = part if banded is None else banded.unionByName(part)
+    return banded
+
+
+def lsh_bucket_stats(
+    emb: DataFrame,
+    n_planes: int = 12,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Bucket-size metrics for a banding choice — the candidate-blowup
+    early-warning the scale path needs BEFORE running the bucket join:
+    ``candidate_pairs`` is the exact pre-dedup join size (sum of c*(c-1)/2
+    over buckets); ``skew_ratio`` = max/mean bucket size (a hot bucket is a
+    hot join key).  One aggregation job over the banded keys."""
+    per_bucket = _banded_keys(
+        emb, n_planes, bands, seed, dim, vec_col, id_col
+    ).groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("c"))
+    row = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("mx"),
+        F.avg("c").alias("mean"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+    ).collect()[0]
+    return {
+        "n_planes": n_planes,
+        "bands": bands,
+        "rows_per_band": n_planes // bands,
+        "n_buckets": int(row["n_buckets"] or 0),
+        "max_bucket": int(row["mx"] or 0),
+        "mean_bucket": float(row["mean"] or 0.0),
+        "skew_ratio": (float(row["mx"]) / float(row["mean"]))
+        if row["mean"] else 1.0,
+        "candidate_pairs": int(row["pairs"] or 0),
+    }
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    cosine_threshold: float = 0.95,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    recall_target: float = 0.8,
+    target_bucket_size: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH.
+
+    The n_planes sign bits are split into ``bands`` bands of
+    n_planes/bands planes; vectors agreeing on ALL bits of ANY band become a
+    candidate pair (union over band buckets, distinct), then the exact cosine
+    filter verifies.  Banding trades precision for recall exactly like the
+    MinHash banding path (operators/dedup.py) — P[candidate] = 1-(1-p^r)^b
+    with p = 1 - theta/pi.  Emitted pairs are exact (verified); recall < 1
+    only from vectors where every band has a sign flip.
+
+    With ``n_planes``/``bands`` unset (the default), parameters AUTO-SCALE
+    to the corpus via auto_lsh_params: rows/band grows ~log2(n) so expected
+    bucket size (and hence the bucket join) stays linear in n, and bands
+    grow to hold ``recall_target`` at the threshold.  Fixed small r is the
+    100 TB trap: 2^3 buckets/band means ~n^2/128 candidate pairs.
+    """
+    if n_planes is None or bands is None:
+        np_auto, b_auto = auto_lsh_params(
+            emb.count(), cosine_threshold, recall_target, target_bucket_size
+        )
+        if bands is None:
+            n_planes, bands = np_auto, b_auto
+        else:
+            n_planes = (np_auto // b_auto) * bands
+    banded = _banded_keys(emb, n_planes, bands, seed, dim, vec_col, id_col)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])

@@ -157,7 +157,7 @@ def test_real_media_features_and_resize(spark):
 
     media = synth_real_media(spark, 24, seed=42)
     rows = media.orderBy("media_id").collect()
-    assert {r["meta"]["format"] for r in rows} == {"ppm", "wav"}
+    assert {r["meta"]["format"] for r in rows} == {"ppm", "wav", "flac"}
     # REAL decode end-to-end through Spark
     feats = extract_features(media, require_real=True).collect()
     assert len(feats) == 24

@@ -210,6 +210,37 @@ def test_banded_lsh_recall_vs_brute_force(spark):
     assert len(one_bucket) <= len(got)
 
 
+def test_auto_lsh_params_scale_and_bucket_stats(spark):
+    """Round-2 parameter risk: fixed r=3 planes/band means ~n^2/128 candidate
+    pairs at corpus scale.  auto_lsh_params grows rows/band ~log2(n) (bucket
+    join stays linear) and bands to hold the recall target; lsh_bucket_stats
+    is the pre-join blowup early-warning metric."""
+    from bliss_rs_spark.operators.similarity import (
+        auto_lsh_params,
+        embedding_neardup_pairs,
+        lsh_bucket_stats,
+    )
+
+    np1, b1 = auto_lsh_params(1_000)
+    np2, b2 = auto_lsh_params(1_000_000)
+    np3, b3 = auto_lsh_params(1_000_000_000)
+    r1, r2, r3 = np1 // b1, np2 // b2, np3 // b3
+    assert r1 < r2 < r3 <= 24, (r1, r2, r3)
+    assert b1 <= b2 <= b3  # recall held by more bands as p^r shrinks
+
+    emb = _clustered_emb(spark, n_clusters=6, per_cluster=20, noise=0.05).cache()
+    stats = lsh_bucket_stats(emb, n_planes=12, bands=4, dim=DIM)
+    assert stats["n_buckets"] > 0
+    assert stats["max_bucket"] >= stats["mean_bucket"] > 0
+    assert stats["candidate_pairs"] > 0
+    assert stats["skew_ratio"] >= 1.0
+
+    # auto-parameterized search: pairs found, exact-verified (no false pos)
+    got = embedding_neardup_pairs(emb, cosine_threshold=0.95, dim=DIM).collect()
+    assert len(got) > 0
+    assert all(r["cosine"] >= 0.95 for r in got)
+
+
 def test_batch_queries_over_segment_store(spark, tmp_path):
     """One-job batch scoring on a multi-unit store (segment update with
     changed + deleted docs) must equal the per-query units path for every
