@@ -157,6 +157,17 @@ def main() -> None:
     with open(os.path.join(store.snapshot_dir(), "metrics.json")) as fh:
         upd_seg = json.load(fh)
 
+    # same 1%-delta segment update on a CHECKPOINTED store: removed docs'
+    # df/sum_dl decrements come from the tokenize checkpoint (no packed-unit
+    # decode) — measuring both df_source paths side by side
+    store2 = IndexStore(tempfile.mkdtemp(prefix="bench_idx_ck_") + "/idx")
+    build_full(spark, docs, store2, cfg, checkpoint=True)
+    t0 = time.perf_counter()
+    update_index(spark, changed, store2, cfg, repack="segment")
+    timings["incremental_update_segment_ckpt"] = time.perf_counter() - t0
+    with open(os.path.join(store2.snapshot_dir(), "metrics.json")) as fh:
+        upd_seg_ck = json.load(fh)
+
     # headline value = the round-1-comparable 8-stage suite; the lifecycle
     # stages (snapshot_build / updates / serving) are reported alongside
     CORE = (
@@ -181,6 +192,8 @@ def main() -> None:
         "update_shards_carried": upd["n_shards_carried"],
         "update_segment_docs_processed": upd_seg["docs_processed"],
         "update_segment_shards_repacked": upd_seg["n_shards_repacked"],
+        "update_segment_df_source": upd_seg.get("df_source"),
+        "update_segment_ckpt_df_source": upd_seg_ck.get("df_source"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -25,6 +25,7 @@ actually decoded), which is exactly what block-max skipping minimizes.
 
 from __future__ import annotations
 
+import functools
 import heapq
 import math
 
@@ -35,6 +36,20 @@ from pyspark.sql import functions as F
 
 from bliss_rs_spark.config import IndexConfig
 from bliss_rs_spark.operators.bm25 import query_terms
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_doc_map(b: bytes) -> np.ndarray:
+    """Decode a shard's ordinal doc map, memoized PER PYTHON WORKER: Spark
+    reuses worker processes across jobs (spark.python.worker.reuse), so a
+    served shard decodes its map once, not once per query.  Keyed by the
+    bytes content itself (hashable, immutable); bounded LRU, read-only
+    result so cache sharing is safe."""
+    from bliss_rs_spark.functions.codec import decode_doc_ids
+
+    arr = decode_doc_ids(b)
+    arr.setflags(write=False)
+    return arr
 
 
 class _Cursor:
@@ -639,8 +654,6 @@ class WandServer:
         dead_by_unit = self.dead_by_unit
 
         def kernel(batches):
-            from bliss_rs_spark.functions.codec import decode_doc_ids
-
             by_us: dict[tuple[int, int], list] = {}
             maps: dict[tuple[int, int], bytes] = {}
             for pdf in batches:
@@ -656,7 +669,7 @@ class WandServer:
             out = {"doc_id": [], "score": []}
             for us, rows in by_us.items():
                 rows.sort(key=lambda r: r[0])
-                ids = decode_doc_ids(maps[us]) if us in maps else None
+                ids = _cached_doc_map(maps[us]) if us in maps else None
                 dead = dead_by_unit.get(us[0])
                 if dead is not None and ids is not None:
                     # translate dead doc_ids into this shard's ordinal space
