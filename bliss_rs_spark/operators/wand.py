@@ -52,6 +52,25 @@ def _cached_doc_map(b: bytes) -> np.ndarray:
     return arr
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_dead_ordinals(dead_bytes: bytes, map_bytes: bytes | None) -> np.ndarray:
+    """A (unit, shard)'s dead set translated into its block id space
+    (ordinals when the shard is mapped), memoized per worker like the doc
+    maps — repeat queries skip both the decode and the searchsorted
+    translation."""
+    from bliss_rs_spark.functions.codec import decode_doc_ids
+
+    dd = decode_doc_ids(dead_bytes)
+    if map_bytes is not None:
+        ids = _cached_doc_map(map_bytes)
+        pos = np.searchsorted(ids, dd)
+        ok = pos < len(ids)
+        ok[ok] = ids[pos[ok]] == dd[ok]
+        dd = np.sort(pos[ok]).astype(np.int64)
+    dd.setflags(write=False)
+    return dd
+
+
 class _Cursor:
     """One term's posting cursor within a shard: lazy block decode + seek.
 
@@ -526,12 +545,17 @@ class WandServer:
       partitioning is deterministic), unlike file-layout-based placement,
       which silently breaks if a lost partition is re-planned under default
       file-split confs;
-    - collects only the vocab-sized idf table to the driver; per-shard doc
-      maps stay DISTRIBUTED as sentinel rows (term NULL, doc_ids bytes)
-      co-partitioned with their shard's packed rows, and ordinal->doc_id
-      resolution happens map-side inside the kernel.  Driver memory is
-      O(vocab + churn), never O(corpus): at 10^9 docs the doc maps are ~8 GB
-      — collecting them (round-2 design) cannot serve from one driver;
+    - keeps per-shard doc maps AND per-(unit, shard) dead sets DISTRIBUTED
+      as sentinel rows (term NULL; doc_ids / dead bytes) co-partitioned with
+      their shard's packed rows: ordinal->doc_id resolution and tombstone
+      masking happen map-side inside the kernel (worker-memoized), so query
+      task closures are O(1).  The idf table is collected only when the
+      vocab is small (<= 2M terms, or driver_idf=True); bigger vocabs stay
+      persisted distributed and each query's terms resolve via one tiny
+      filtered collect with an LRU (10^12-file corpora have vocabularies no
+      driver can hold).  Driver memory is O(warm query terms), never
+      O(corpus) and never O(vocab): at 10^9 docs the doc maps alone are
+      ~8 GB — collecting them (round-2 design) cannot serve from one driver;
     - per query: filter(term isin ... or sentinel) over the cached
       partitions -> mapInPandas runs the SAME _wand_shard kernel per
       complete shard -> collect of (shards x k) rows -> exact driver merge.
@@ -552,35 +576,55 @@ class WandServer:
         doc_map: DataFrame | None = None,
         target_partitions: int | None = None,
         units: list[tuple[int, DataFrame, DataFrame | None]] | None = None,
-        tombstones: dict[int, int] | None = None,
+        tombstones: dict[int, int] | DataFrame | None = None,
+        driver_idf: bool | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or IndexConfig()
         self.avgdl = float(avgdl)
         if units is None:
             units = [(0, packed, doc_map)]
-        # idf lookup: vocab-sized driver dict — index metadata, not corpus
-        self.idfs = {
-            r["term"]: float(r["idf"])
-            for r in term_stats.select("term", "idf").collect()
-        }
         self._units = units
-        self._tomb = tombstones or {}
-        # per-UNIT dead doc_ids (churn-sized; never corpus-sized).  Ordinal
-        # translation happens map-side per shard against that shard's
-        # sentinel doc map — the driver never materializes any doc map.
-        self.dead_by_unit: dict[int, np.ndarray] = {}
-        for seq, _, _ in units:
-            dd = np.sort(np.array(
-                [d for d, bs in self._tomb.items() if bs > seq], dtype=np.int64
-            ))
-            if len(dd):
-                self.dead_by_unit[seq] = dd
+
+        # --- idf resolution: driver dict ONLY when the vocab is small ------
+        # At 10^12 source files the term vocabulary itself is too large to
+        # collect; the server then keeps term_stats persisted (distributed)
+        # and resolves each query's few terms with one tiny filtered collect,
+        # LRU-cached (negative entries included) so warm terms cost nothing.
+        self._ts = term_stats.select("term", "idf").persist()
+        n_vocab = self._ts.count()  # also materializes the cache
+        if driver_idf is None:
+            driver_idf = n_vocab <= 2_000_000
+        self._driver_idf = bool(driver_idf)
+        self._idf_cache: dict[str, float | None] = {}
+        if self._driver_idf:
+            self._idf_cache = {
+                r["term"]: float(r["idf"]) for r in self._ts.collect()
+            }
+
+        # --- tombstones: churn-scale, never collected when given as a frame
+        if isinstance(tombstones, DataFrame):
+            tomb_df = tombstones
+            self._tomb_dict_cache = None  # only the (rare) fallback collects
+        else:
+            self._tomb_dict_cache = dict(tombstones or {})
+            tomb_df = (
+                spark.createDataFrame(
+                    [(int(d), int(bs)) for d, bs in self._tomb_dict_cache.items()],
+                    "doc_id long, before_seq int",
+                )
+                if self._tomb_dict_cache
+                else None
+            )
+        self._tomb_df = tomb_df
+        has_tomb = tomb_df is not None and tomb_df.limit(1).count() > 0
 
         u = None
         for seq, p, dm in units:
-            part = p.withColumn("unit", F.lit(int(seq))).withColumn(
-                "doc_ids", F.lit(None).cast("binary")
+            part = (
+                p.withColumn("unit", F.lit(int(seq)))
+                .withColumn("doc_ids", F.lit(None).cast("binary"))
+                .withColumn("dead", F.lit(None).cast("binary"))
             )
             u = part if u is None else u.unionByName(part)
             if dm is not None:
@@ -588,14 +632,60 @@ class WandServer:
                 # doc map INSIDE the partition that owns the shard's blocks
                 sentinel = dm.select(
                     "shard",
-                    F.lit(None).cast(
-                        p.schema["term"].dataType
-                    ).alias("term"),
+                    F.lit(None).cast(p.schema["term"].dataType).alias("term"),
                     F.lit(None).cast(p.schema["blocks"].dataType).alias("blocks"),
                     F.lit(int(seq)).alias("unit"),
                     F.col("doc_ids"),
+                    F.lit(None).cast("binary").alias("dead"),
                 )
                 u = u.unionByName(sentinel, allowMissingColumns=True)
+        if has_tomb:
+            # dead-set sentinels: per-(unit, shard) tombstoned ids, computed
+            # DISTRIBUTED (one tiny job over the churn-sized frame) and
+            # co-partitioned with the blocks they mask — query closures stay
+            # O(1); round-2 shipped the whole dead set in every task closure.
+            shard_col = F.pmod(
+                F.xxhash64("doc_id"), F.lit(self.cfg.n_doc_shards)
+            ).cast("int")
+            parts = None
+            for seq, _, _ in units:
+                pp = tomb_df.filter(F.col("before_seq") > F.lit(int(seq))).select(
+                    F.lit(int(seq)).alias("unit"),
+                    shard_col.alias("shard"),
+                    "doc_id",
+                )
+                parts = pp if parts is None else parts.unionByName(pp)
+
+            def _enc_dead(pdf: pd.DataFrame) -> pd.DataFrame:
+                from bliss_rs_spark.functions.codec import encode_doc_ids
+
+                return pd.DataFrame(
+                    {
+                        "unit": [int(pdf["unit"].iloc[0])],
+                        "shard": [int(pdf["shard"].iloc[0])],
+                        "dead": [
+                            encode_doc_ids(
+                                np.sort(pdf["doc_id"].to_numpy(np.int64))
+                            )
+                        ],
+                    }
+                )
+
+            dead_rows = parts.groupBy("unit", "shard").applyInPandas(
+                _enc_dead, "unit int, shard int, dead binary"
+            )
+            first_p = units[0][1]
+            u = u.unionByName(
+                dead_rows.select(
+                    "shard",
+                    F.lit(None).cast(first_p.schema["term"].dataType).alias("term"),
+                    F.lit(None).cast(first_p.schema["blocks"].dataType).alias("blocks"),
+                    "unit",
+                    F.lit(None).cast("binary").alias("doc_ids"),
+                    F.col("dead"),
+                ),
+                allowMissingColumns=True,
+            )
         # hash-repartition by (unit, shard): every shard lands wholly in one
         # partition structurally — a recomputed partition (executor loss)
         # replays the same deterministic exchange, so correctness never
@@ -634,49 +724,81 @@ class WandServer:
             cfg_s,
             None,
             units=store.packed_units(spark),
-            tombstones=store.tombstone_dict(spark),
+            # the FRAME, not a collected dict: tombstones stay distributed
+            # (churn at 10^9-doc scale never lands on the driver)
+            tombstones=store.load(spark, "tombstones")
+            if "segments" in store.meta()
+            else None,
         )
+
+    def _resolve_idfs(self, terms: list[str]) -> dict[str, float]:
+        """Per-query idf lookup.  Driver-dict mode answers from memory; lazy
+        mode pays ONE filtered collect over the persisted (distributed)
+        term_stats for terms not yet cached, with negative caching so absent
+        terms never re-query."""
+        missing = [t for t in set(terms) if t not in self._idf_cache]
+        if missing and not self._driver_idf:
+            found = {
+                r["term"]: float(r["idf"])
+                for r in self._ts.filter(F.col("term").isin(missing)).collect()
+            }
+            for t in missing:
+                self._idf_cache[t] = found.get(t)
+        return {
+            t: self._idf_cache[t]
+            for t in terms
+            if self._idf_cache.get(t) is not None
+        }
+
+    def _tomb_dict(self) -> dict[int, int]:
+        if self._tomb_dict_cache is None:
+            # only the non-single-stage FALLBACK needs the driver dict; the
+            # serving path keeps tombstones distributed
+            self._tomb_dict_cache = {
+                int(r["doc_id"]): int(r["before_seq"])
+                for r in self._tomb_df.collect()
+            } if self._tomb_df is not None else {}
+        return self._tomb_dict_cache
 
     def query(self, query_text: str, k: int = 10, lang: str | None = None):
         """-> [(doc_id, score)] exact top-k, rank-identical to wand_topk."""
         terms = query_terms(query_text, lang, self.cfg)
-        idfs = {t: self.idfs[t] for t in terms if t in self.idfs}
+        idfs = self._resolve_idfs(terms)
         if not idfs:
             return []
         if not self.single_stage:  # fallback: the exact shuffle path
             rows = wand_topk_units(
-                self.spark, self._units, self._ts_df(idfs), self.avgdl,
-                query_text, k, self.cfg, lang, self._tomb,
+                self.spark, self._units, self._ts, self.avgdl,
+                query_text, k, self.cfg, lang, self._tomb_dict(),
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
         k1, b, avgdl, kk = self.cfg.k1, self.cfg.b, self.avgdl, k
-        dead_by_unit = self.dead_by_unit
 
         def kernel(batches):
             by_us: dict[tuple[int, int], list] = {}
             maps: dict[tuple[int, int], bytes] = {}
+            deads: dict[tuple[int, int], bytes] = {}
             for pdf in batches:
-                for unit, shard, term, blocks, doc_ids in zip(
+                for unit, shard, term, blocks, doc_ids, dead_b in zip(
                     pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"],
-                    pdf["doc_ids"],
+                    pdf["doc_ids"], pdf["dead"],
                 ):
                     us = (int(unit), int(shard))
-                    if term is None:  # sentinel row: this shard's doc map
-                        maps[us] = bytes(doc_ids)
+                    if term is None:  # sentinel: doc map or dead set
+                        if doc_ids is not None:
+                            maps[us] = bytes(doc_ids)
+                        else:
+                            deads[us] = bytes(dead_b)
                     else:
                         by_us.setdefault(us, []).append((term, blocks))
             out = {"doc_id": [], "score": []}
             for us, rows in by_us.items():
                 rows.sort(key=lambda r: r[0])
                 ids = _cached_doc_map(maps[us]) if us in maps else None
-                dead = dead_by_unit.get(us[0])
-                if dead is not None and ids is not None:
-                    # translate dead doc_ids into this shard's ordinal space
-                    pos = np.searchsorted(ids, dead)
-                    ok = pos < len(ids)
-                    ok[ok] = ids[pos[ok]] == dead[ok]
-                    dead = np.sort(pos[ok]).astype(np.int64)
+                dead = None
+                if us in deads:
+                    dead = _cached_dead_ordinals(deads[us], maps.get(us))
                     if not len(dead):
                         dead = None
                 top = _wand_shard(
@@ -701,13 +823,9 @@ class WandServer:
         )[:k]
         return [(d, s) for s, d in merged]
 
-    def _ts_df(self, idfs: dict) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(t, v) for t, v in self.idfs.items()], "term string, idf double"
-        )
-
     def close(self):
         self.packed.unpersist()
+        self._ts.unpersist()
 
 
 def wand_topk_batch(

@@ -210,6 +210,48 @@ def test_banded_lsh_recall_vs_brute_force(spark):
     assert len(one_bucket) <= len(got)
 
 
+def test_wand_server_lazy_idf_and_distributed_tombstones(spark, tmp_path):
+    """Driver-scale pins: with driver_idf=False the server never collects
+    the vocab (only queried terms land in the LRU, absent terms negatively
+    cached), and tombstones passed as a FRAME are never collected on the
+    serving path — results stay identical to the driver-dict server."""
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.corpus import synth_documents, with_invariants
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+    from bliss_rs_spark.config import IndexConfig
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 150, seed=42))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    # deletions -> real tombstones on the serving path
+    update_index(spark, docs.filter(F.col("doc_id") % 11 != 0), store, cfg,
+                 delete_missing=True, repack="segment")
+
+    eager = WandServer.from_store(spark, store)
+    lazy = WandServer(
+        spark, None, store.load(spark, "term_stats"), store.meta()["avgdl"],
+        store.config(), None, units=store.packed_units(spark),
+        tombstones=store.load(spark, "tombstones"), driver_idf=False,
+    )
+    assert eager.single_stage and lazy.single_stage
+    assert lazy._tomb_dict_cache is None  # frame never collected
+    for q in ["varbyte merge return", "return", "no_such_term_zz"]:
+        got_e = eager.query(q, 10)
+        got_l = lazy.query(q, 10)
+        assert got_e == got_l, q
+    # the LRU holds only the queried terms (positive + negative entries),
+    # nowhere near the vocab
+    assert 0 < len(lazy._idf_cache) <= 10
+    assert any(v is None for v in lazy._idf_cache.values())  # negative entries
+    assert lazy._tomb_dict_cache is None  # still never collected
+    eager.close()
+    lazy.close()
+
+
 def test_auto_lsh_params_scale_and_bucket_stats(spark):
     """Round-2 parameter risk: fixed r=3 planes/band means ~n^2/128 candidate
     pairs at corpus scale.  auto_lsh_params grows rows/band ~log2(n) (bucket
