@@ -632,6 +632,72 @@ FROM pairs WHERE cosine >= 0.9
 """
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size metrics (round-3): bucket count, max bucket,
+    and the exact pre-dedup candidate-pair count sum(c*(c-1)/2) — the
+    blowup early-warning the scale path checks BEFORE running the bucket
+    join.  Same planted clones as embedding_neardup (buckets of >= 2
+    guaranteed), same seeded planes replayed literally in the oracle."""
+    from bliss_rs_spark.operators.similarity import _banded_keys
+
+    emb = _emb(spark, sf_dir)
+    clones = emb.filter(F.col("vec_id") % _EMB_CLONE_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + _CLONE_ID_OFFSET
+    )
+    banded = _banded_keys(
+        emb.unionByName(clones), 12, 4, 7, 64, "embedding", "vec_id"
+    )
+    per_bucket = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_lsh_bucket_stats() -> str:
+    from bliss_rs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(12, 7, 64)
+    bits = ",\n         ".join(
+        f"(CASE WHEN list_dot_product(v, {_dlist(planes[i])}) >= 0 "
+        f"THEN '1' ELSE '0' END) AS b{i}"
+        for i in range(12)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, b{3*bi} || b{3*bi+1} || b{3*bi+2} AS bkey FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH allv AS (
+  SELECT vec_id, embedding::double[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_CLONE_ID_OFFSET} AS vec_id, embedding::double[] AS v
+  FROM embeddings WHERE vec_id % {_EMB_CLONE_MOD} = 0
+),
+sig AS (
+  SELECT vec_id, v,
+         {bits}
+  FROM allv
+),
+bands AS ({band_selects}),
+per_bucket AS (
+  SELECT band, bkey, count(*) AS c FROM bands GROUP BY band, bkey
+)
+SELECT band,
+       count(*) AS n_buckets,
+       max(c) AS max_bucket,
+       (SUM(c * (c - 1) // 2))::bigint AS candidate_pairs
+FROM per_bucket
+GROUP BY band
+ORDER BY band
+"""
+
+
 # --- text analysis --------------------------------------------------------------
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1448,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
         "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
+        "lsh_bucket_stats": (q_lsh_bucket_stats, _oracle_lsh_bucket_stats()),
         "quality": (q_quality, _oracle_quality()),
         "lang_id": (q_lang_id, _oracle_lang_id()),
         "topk_per_lang": (q_topk_per_lang, ORACLE_TOPK_PER_LANG),
