@@ -56,12 +56,24 @@ def _skew_ratio(df: DataFrame, key: str, weight: str | None = None) -> float:
     """max/mean rows (or summed weight) per key — the per-shuffle-stage skew
     metric.  Callers pass an already-aggregated frame (term_stats, packed)
     so this never re-scans the postings; it is a job over vocab-sized data."""
+    return _bucket_weight_stats(df, key, weight)[1]
+
+
+def _bucket_weight_stats(
+    df: DataFrame, key: str, weight: str | None = None
+) -> tuple[int, float]:
+    """(total weight, max/mean skew ratio) per key in ONE job — callers that
+    need both n_postings and the term-bucket skew metric pay one collect,
+    not two."""
     agg = F.sum(weight) if weight else F.count(F.lit(1))
     counts = df.groupBy(key).agg(agg.alias("w"))
-    row = counts.agg(F.max("w").alias("mx"), F.avg("w").alias("mean")).collect()[0]
+    row = counts.agg(
+        F.sum("w").alias("total"), F.max("w").alias("mx"), F.avg("w").alias("mean")
+    ).collect()[0]
+    total = int(row["total"] or 0)
     if not row["mean"]:
-        return 1.0
-    return float(row["mx"]) / float(row["mean"])
+        return total, 1.0
+    return total, float(row["mx"]) / float(row["mean"])
 
 
 def _doc_shard_skew(doc_map: DataFrame | None) -> float | None:
@@ -228,9 +240,8 @@ def _assemble_and_commit(
 
     term_stats = build_term_stats(postings, n_docs).cache()
     # n_postings and bucket skew both come from the tiny term_stats frame —
-    # never a second full postings scan just for metrics
-    agg = term_stats.agg(F.sum("df").alias("np")).collect()[0]
-    n_postings = int(agg["np"] or 0)
+    # one job, never a second full postings scan just for metrics
+    n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
     packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
 
     elapsed = max(time.perf_counter() - t_start, 1e-9)
@@ -241,9 +252,7 @@ def _assemble_and_commit(
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(docs_processed / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
-        "skew_ratio_term_bucket": round(
-            _skew_ratio(term_stats, "term_bucket", weight="df"), 3
-        ),
+        "skew_ratio_term_bucket": round(bucket_skew, 3),
     }
     shard_skew = _doc_shard_skew(doc_map)
     if shard_skew is not None:
@@ -390,7 +399,6 @@ def update_index(
     if "doc_id" not in incoming.columns or "content_sha256" not in incoming.columns:
         incoming = with_invariants(incoming)
     incoming = incoming.cache()
-    n_in = incoming.count()
 
     manifest = store.load(spark, "manifest")
     done_ok = manifest.filter(
@@ -398,9 +406,23 @@ def update_index(
         & (F.col("analyzer_version") == cfg.analyzer_version)
     ).select("doc_id", "content_sha256")
 
-    # skip-already-analyzed: new or content-changed docs only (J3 anti-join)
+    # skip-already-analyzed (J3 anti-join).  n_in and n_delta come from ONE
+    # job (count + matched-count over a left join) instead of two counts —
+    # the update path is driver-job-bound at small deltas.  No broadcast
+    # hint: both sides are corpus-sized in a full-corpus re-supply; AQE
+    # picks the strategy.
+    row = (
+        incoming.join(
+            done_ok.withColumn("_done", F.lit(1)),
+            ["doc_id", "content_sha256"],
+            "left",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_done").alias("skip"))
+        .collect()[0]
+    )
+    n_in = int(row["n"])
+    n_delta = n_in - int(row["skip"] or 0)
     delta = incoming.join(done_ok, ["doc_id", "content_sha256"], "left_anti").cache()
-    n_delta = delta.count()
 
     # removed = docs whose existing rows must die: changed docs (old version
     # replaced) + vanished docs (delete_missing) — the upsert delete half
@@ -473,6 +495,7 @@ def update_index(
     old_doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
     to_unpersist = []
     df_src_used = None
+    sum_dl_removed_pre = None  # set when the checkpoint job already summed it
 
     if repack == "merge":
         # docs already tombstone-dead in the base (pure deletes of past
@@ -525,9 +548,16 @@ def update_index(
                 )
                 if ckpt_flat is not None:
                     ckpt_flat = ckpt_flat.cache()
-                    n_cover = ckpt_flat.select("doc_id").distinct().count()
-                    if n_cover == n_removed_ok:
+                    # one job: coverage check AND the sum_dl decrement
+                    r = (
+                        ckpt_flat.groupBy("doc_id")
+                        .agg(F.max("dl").alias("dl"))
+                        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+                        .collect()[0]
+                    )
+                    if int(r["n"]) == n_removed_ok:
                         removed_flat = ckpt_flat
+                        sum_dl_removed_pre = int(r["sdl"] or 0)
                         to_unpersist.append(ckpt_flat)
                         df_src_used = "checkpoint"
                     else:
@@ -567,16 +597,20 @@ def update_index(
             removed_flat = spark.createDataFrame(
                 [], "shard int, term string, doc_id long, tf long, dl long"
             )
+            sum_dl_removed_pre = 0  # nothing removed: skip the empty-agg job
 
     # --- exact incremental term stats -------------------------------------------
     n_docs = int(meta["n_docs"]) - n_removed_ok + n_new_ok
-    sum_dl_removed = int(
-        removed_flat.groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-        .agg(F.sum("dl"))
-        .collect()[0][0]
-        or 0
-    )
+    if sum_dl_removed_pre is not None:
+        sum_dl_removed = sum_dl_removed_pre
+    else:
+        sum_dl_removed = int(
+            removed_flat.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
     sum_dl = int(meta.get("sum_dl", round(meta["avgdl"] * meta["n_docs"]))) \
         - sum_dl_removed + sum_dl_new
 
@@ -615,7 +649,7 @@ def update_index(
             + F.lit(1.0)
         ),
     ).cache()
-    n_postings = int(term_stats.agg(F.sum("df")).collect()[0][0] or 0)
+    n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
 
     # --- build the new packed data under the chosen policy ----------------------
     old_snapshot = store.current_snapshot()
@@ -680,9 +714,7 @@ def update_index(
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_delta / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
-        "skew_ratio_term_bucket": round(
-            _skew_ratio(term_stats, "term_bucket", weight="df"), 3
-        ),
+        "skew_ratio_term_bucket": round(bucket_skew, 3),
     }
     shard_skew = _doc_shard_skew(doc_map_out)
     if shard_skew is not None:
