@@ -462,13 +462,14 @@ def wand_topk_units(
 
     tomb = tombstones or {}
     # per-unit dead doc_ids, precomputed once on the driver (tombstones scale
-    # with churn, not corpus) and shipped in the task closure
-    dead_by_unit = {
+    # with churn, not corpus) and shipped via sc.broadcast — ONE transfer per
+    # executor, never per task closure
+    dead_bc = spark.sparkContext.broadcast({
         seq: np.sort(np.array(
             [d for d, bs in tomb.items() if bs > seq], dtype=np.int64
         ))
         for seq, _, _ in units
-    }
+    })
     k1, b, kk = cfg.k1, cfg.b, k
 
     packed_u = None
@@ -483,7 +484,7 @@ def wand_topk_units(
     pruned = packed_u.filter(F.col("term").isin(list(idfs)))
 
     def run(pdf: pd.DataFrame, ids: np.ndarray | None, seq: int):
-        dead = dead_by_unit.get(seq)
+        dead = dead_bc.value.get(seq)
         if ids is not None and dead is not None and len(dead):
             # translate dead doc_ids into this unit-shard's ordinal space
             pos = np.searchsorted(ids, dead)
@@ -871,15 +872,15 @@ def wand_topk_batch(
     idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
     k1, b = cfg.k1, cfg.b
     tomb = tombstones or {}
-    dead_by_unit = {
+    dead_bc = spark.sparkContext.broadcast({
         seq: np.sort(np.array(
             [d for d, bs in tomb.items() if bs > seq], dtype=np.int64
         ))
         for seq, _, _ in units
-    }
+    })
 
     def run_all(pdf: pd.DataFrame, ids, seq: int) -> pd.DataFrame:
-        dead = dead_by_unit.get(seq)
+        dead = dead_bc.value.get(seq)
         if dead is not None and not len(dead):
             dead = None
         if ids is not None and dead is not None:

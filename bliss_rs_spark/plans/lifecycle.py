@@ -218,6 +218,7 @@ def _assemble_and_commit(
     t_start: float,
     docs_processed: int,
     avgdl_override: float | None = None,
+    parent: str | None = None,
 ) -> str:
     """Full-build commit: one segment holding the whole corpus, fresh packed
     index, empty tombstones.  ``avgdl_override`` pins the BM25 length norm to
@@ -278,6 +279,7 @@ def _assemble_and_commit(
         },
         meta,
         metrics,
+        expected_parent=parent,
     )
     return name
 
@@ -296,6 +298,7 @@ def build_full(
     segments."""
     cfg = cfg or IndexConfig()
     t0 = time.perf_counter()
+    parent = store.current_snapshot()  # optimistic-concurrency token
     if "doc_id" not in docs.columns or "content_sha256" not in docs.columns:
         docs = with_invariants(docs)
     n_in = docs.count()
@@ -303,7 +306,9 @@ def build_full(
         tokenized = _tokenize_with_checkpoint(spark, docs, store, cfg)
     else:
         tokenized = tokenize_documents(docs, cfg)
-    return _assemble_and_commit(spark, tokenized, store, cfg, t0, n_in, avgdl_override)
+    return _assemble_and_commit(
+        spark, tokenized, store, cfg, t0, n_in, avgdl_override, parent=parent
+    )
 
 
 def update_index(
@@ -377,7 +382,8 @@ def update_index(
     import os
 
     t0 = time.perf_counter()
-    if store.current_snapshot() is None:
+    parent = store.current_snapshot()  # optimistic-concurrency token
+    if parent is None:
         return build_full(spark, incoming, store, cfg or IndexConfig())
     cfg = cfg or store.config()
 
@@ -652,7 +658,7 @@ def update_index(
     n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
 
     # --- build the new packed data under the chosen policy ----------------------
-    old_snapshot = store.current_snapshot()
+    old_snapshot = parent
     old_packed_dir = os.path.join(store.snapshot_dir(old_snapshot), "packed")
     base_shards = sorted(
         int(d.split("=")[1])
@@ -739,6 +745,7 @@ def update_index(
         meta_out,
         metrics,
         carry_packed=(old_snapshot, carry_shards),
+        expected_parent=parent,
     )
     for df in to_unpersist:
         df.unpersist()
@@ -767,13 +774,14 @@ def compact_packs(spark: SparkSession, store: IndexStore) -> str:
     (segments folded, tombstones cleared, avgdl re-pinned).
     """
     t0 = time.perf_counter()
+    parent = store.current_snapshot()  # optimistic-concurrency token
     meta = store.meta()
     cfg = store.config()
     avgdl = float(meta["avgdl"])
     units = store.packed_units(spark)
     tomb_df = store.load(spark, "tombstones")
     if len(units) == 1 and tomb_df.limit(1).count() == 0:
-        return store.current_snapshot()
+        return parent
 
     flat = None
     for seq, packed_df, dm_df in units:
@@ -812,11 +820,12 @@ def compact_packs(spark: SparkSession, store: IndexStore) -> str:
         {
             "term_stats": term_stats,
             "packed": packed,
-            "tombstones": store.load(spark, "tombstones"),
+            "tombstones": tomb_df,
             **({"doc_map": doc_map_out} if doc_map_out is not None else {}),
         },
         meta_out,
         metrics,
+        expected_parent=parent,
     )
 
 

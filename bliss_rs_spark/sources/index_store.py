@@ -64,6 +64,18 @@ FRAMES = SEGMENT_FRAMES + SNAPSHOT_FRAMES
 
 TOMBSTONE_SCHEMA = "doc_id long, before_seq int"
 
+_NO_CHECK = object()  # commit_snapshot sentinel: skip the parent CAS check
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a snapshot since this writer read its state.
+
+    The Iceberg optimistic-concurrency analogue: a commit validates that
+    CURRENT still points at the snapshot it derived from; on conflict the
+    losing writer's staged snapshot is discarded (the store stays on the
+    winner) and the caller re-reads and retries — silently overwriting the
+    other writer's snapshot would drop its delta."""
+
 
 def _link_tree(src: str, dst: str) -> None:
     """Recursively hard-link src into dst (same filesystem by construction:
@@ -288,6 +300,7 @@ class IndexStore:
         meta: dict,
         metrics: dict | None = None,
         carry_packed: tuple[str, list[int]] | None = None,
+        expected_parent: str | None | object = _NO_CHECK,
     ) -> str:
         """Write snapshot frames to a staging dir, hard-link carried packed
         shards from a previous snapshot, then atomically flip CURRENT.
@@ -297,6 +310,15 @@ class IndexStore:
         rewriting it — the incremental-update move: untouched shards cost
         inode links, not I/O.  A crash at any point before the final
         os.replace leaves the previous snapshot fully intact and readable.
+
+        ``expected_parent`` is the optimistic-concurrency token (Iceberg
+        compare-and-swap analogue): pass the snapshot name this commit was
+        derived from (None for an expected-empty store) and the commit
+        raises ConcurrentCommitError — discarding its staged data, leaving
+        CURRENT on the other writer's snapshot — if a concurrent commit got
+        there first.  Best-effort on a plain filesystem (the check-and-flip
+        window is not atomic) but it converts silent lost-update into a
+        loud, retryable error; a real Iceberg catalog makes it atomic.
         """
         name = self._next_snapshot_name()
         stage = os.path.join(self.path, f"_staging_{name}")
@@ -331,6 +353,8 @@ class IndexStore:
             # shard= partition layout on read)
             for fname, df in frames.items():
                 _ensure_schema_file(df, os.path.join(stage, fname))
+            if expected_parent is not _NO_CHECK:
+                meta = dict(meta, parent_snapshot=expected_parent)  # lineage
             with open(os.path.join(stage, "config.json"), "w") as f:
                 json.dump(meta, f, indent=2, sort_keys=True)
             with open(os.path.join(stage, "metrics.json"), "w") as f:
@@ -340,6 +364,14 @@ class IndexStore:
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
+        if expected_parent is not _NO_CHECK:
+            cur = self.current_snapshot()
+            if cur != expected_parent:
+                shutil.rmtree(final, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"snapshot {name} derived from {expected_parent!r} but "
+                    f"CURRENT moved to {cur!r}; re-read and retry the update"
+                )
         tmp = os.path.join(self.path, "CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(name)

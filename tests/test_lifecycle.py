@@ -473,6 +473,39 @@ def test_checkpoint_compaction(spark, tmp_path):
     assert store.meta()["n_docs"] == 150
 
 
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic concurrency (Iceberg CAS analogue): a commit derived from a
+    snapshot that is no longer CURRENT must fail loudly, discard its staged
+    data, and leave the winner's snapshot intact — never silently drop the
+    other writer's delta."""
+    from bliss_rs_spark.sources.index_store import ConcurrentCommitError
+
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 80), store, CFG, checkpoint=False)
+    v1 = store.current_snapshot()
+
+    # writer B wins the race
+    update_index(spark, _docs(spark, 100), store, CFG)
+    v2 = store.current_snapshot()
+    assert v2 != v1
+    assert store.meta()["parent_snapshot"] == v1  # lineage recorded
+
+    # writer A (stale parent v1) must be refused
+    with pytest.raises(ConcurrentCommitError, match="re-read and retry"):
+        store.commit_snapshot(
+            {
+                "term_stats": store.load(spark, "term_stats"),
+                "tombstones": store.empty_tombstones(spark),
+            },
+            store.meta(),
+            {},
+            expected_parent=v1,
+        )
+    assert store.current_snapshot() == v2
+    assert store.snapshots() == [v1, v2]  # loser's staged snapshot discarded
+    assert len(query_index(spark, store, "return", 3).collect()) == 3
+
+
 def test_snapshot_gc(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     docs = _docs(spark, 60)
