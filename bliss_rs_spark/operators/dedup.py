@@ -179,6 +179,70 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) over the near-dup pair graph — component = the
+    smallest doc_id reachable.  The cluster-formation step a production
+    dedup pipeline needs between pair emission and keep-one: near-dup is
+    not transitive, so picking survivors from PAIRS alone either drops too
+    much (both ends) or too little (greedy).
+
+    Distributed hash-to-min label propagation: each round every node takes
+    the min label among itself and its neighbors (one join + one groupBy
+    per round, all equi-shuffles on the node key); converges in
+    graph-diameter rounds — near-dup clusters are shallow (diameter ~2-4),
+    so 3-5 rounds in practice, never O(n) anything.  Lineage is truncated
+    every round (localCheckpoint) — iterative plans otherwise grow
+    exponentially and stall the driver; on a real cluster point
+    spark.checkpoint.dir at durable storage and swap in checkpoint() if
+    executor loss during the loop must be survivable.  Deterministic:
+    min() is order- and partitioning-insensitive.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            ).select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
+
+
+def near_dedup_keep_one(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Drop every near-duplicate except its cluster representative (the
+    smallest doc_id of each connected component); docs in no pair survive
+    untouched.  The near-tier counterpart of dedup_exact."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,

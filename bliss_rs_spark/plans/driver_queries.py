@@ -396,6 +396,42 @@ WHERE i.c::double / (sa.n + sb.n - i.c) >= 0.05
 """
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph — the
+    cluster-formation step between pair emission and keep-one (near-dup is
+    not transitive).  Spark: hash-to-min label propagation; oracle: DuckDB
+    recursive-CTE transitive closure over the SAME pairs query."""
+    from bliss_rs_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs_adapted(spark, sf_dir), n_hashes=8, bands=4, jaccard_threshold=0.05
+    )
+    return connected_components(pairs)
+
+
+ORACLE_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE_MINHASH_LSH}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach
+GROUP BY u
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the LSH recall oracle)."""
     from bliss_rs_spark.operators.dedup import ngram_jaccard_pairs
@@ -1442,6 +1478,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "fingerprint_groups": (q_fingerprint_groups, ORACLE_FINGERPRINT),
         "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIG),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
+        "neardup_components": (q_neardup_components, ORACLE_NEARDUP_COMPONENTS),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD),
         "simhash": (q_simhash, ORACLE_SIMHASH),
         "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH_NEARDUP),
