@@ -282,18 +282,27 @@ def ivf_assign(
     """
     cents = centroids if centroids is not None else ivf_random_codebook(n_cells, seed, dim)
     n_cells = len(cents)
-    dists = [
-        (_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
-         / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))).alias(f"c{i}")
+    # argmax via array_max over (cos, -cell) structs: each centroid's dot
+    # expression appears exactly ONCE in the plan.  The previous
+    # greatest + when-chain formulation inlined all n_cells dot expressions
+    # into every branch after projection collapse — an O(n_cells^2 x dim)
+    # expression tree that OOMed the driver once the batch path stacked
+    # joins and a window on top.  Struct comparison = max cos, ties -> max
+    # negcell = LOWEST cell, identical semantics.
+    entries = [
+        F.struct(
+            (
+                _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
+                / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+            ).alias("cos"),
+            F.lit(-i).alias("negcell"),
+        )
         for i in range(n_cells)
     ]
-    with_d = emb.select(F.col(id_col), F.col(vec_col), *dists)
-    best = F.greatest(*[F.col(f"c{i}") for i in range(n_cells)])
-    cell = None
-    for i in range(n_cells):
-        cond = F.col(f"c{i}") == best
-        cell = F.when(cond, i) if cell is None else cell.when(cond, i)
-    return with_d.select(F.col(id_col), F.col(vec_col), cell.cast("int").alias("cell"))
+    best = F.array_max(F.array(*entries))
+    return emb.select(
+        F.col(id_col), F.col(vec_col), (-best["negcell"]).cast("int").alias("cell")
+    )
 
 
 def score_with_model(
@@ -389,6 +398,56 @@ def ivf_topk(
     assigned = ivf_assign(emb, len(cents), seed, dim, vec_col, id_col, centroids=cents)
     cand = assigned.filter(F.col("cell").isin(probe)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN for a whole query SET in ONE Spark job (the embedding-space
+    counterpart of wand_topk_batch): assign vectors to cells once, broadcast
+    the per-query probe sets and query vectors, score only probed cells, and
+    finish each query with a rank window.  Returns
+    (query_id, rank, vec_id, cosine).
+
+    Per-query cost is candidate scoring, not job scheduling — batch ANN over
+    N queries scans the corpus once instead of N times.  All cosine math is
+    sequential-fold float64 (zip_with/aggregate), so the DuckDB oracle is
+    bit-identical."""
+    from pyspark.sql import Window as W
+
+    spark = emb.sparkSession
+    cents = centroids if centroids is not None else ivf_random_codebook(n_cells, seed, dim)
+    probe_rows = []
+    for qid, qv in queries:
+        scores = [_seq_dot(c, qv) for c in cents]
+        order = sorted(range(len(cents)), key=lambda i: (-scores[i], i))
+        probe_rows += [(int(qid), int(c)) for c in order[:n_probe]]
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id int, qvec array<double>",
+    )
+    assigned = ivf_assign(emb, len(cents), seed, dim, vec_col, id_col, centroids=cents)
+    cand = assigned.join(F.broadcast(probes), "cell").join(F.broadcast(qdf), "query_id")
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.select("query_id", F.col(id_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine")
+    )
 
 
 def kmeans_codebook(

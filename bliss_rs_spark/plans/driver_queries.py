@@ -604,6 +604,81 @@ LIMIT 10
 """
 
 
+def _ann_batch_queries() -> list[tuple[int, list[float]]]:
+    """Three seeded, normalized synthetic query vectors — emitted as literal
+    double arrays into the oracle, like the LSH planes and IVF codebook."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    qs = rng.standard_normal((3, 64))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    return [(i + 1, [float(x) for x in qs[i]]) for i in range(3)]
+
+
+def q_ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN: three query vectors answered in ONE job (assign once,
+    broadcast probes + query vectors, per-query rank window)."""
+    from bliss_rs_spark.operators.similarity import ivf_topk_batch
+
+    return ivf_topk_batch(_emb(spark, sf_dir), _ann_batch_queries(), k=10).select(
+        "query_id", "rank", "vec_id", _r6(F.col("cosine")).alias("cosine_r")
+    )
+
+
+def _oracle_ann_ivf_batch() -> str:
+    from bliss_rs_spark.operators.similarity import ivf_random_codebook
+
+    cents = ivf_random_codebook(16, 11, 64)
+    cvals = ",\n    ".join(f"({i}, {_dlist(cents[i])})" for i in range(len(cents)))
+    qvals = ",\n    ".join(
+        f"({qid}, {_dlist(qv)})" for qid, qv in _ann_batch_queries()
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES
+    {cvals}),
+q(query_id, qe) AS (VALUES
+    {qvals}),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cents.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(cents.c, q.qe) DESC,
+                                       cents.cell ASC) AS rn
+    FROM cents CROSS JOIN q) WHERE rn <= 4
+),
+scored AS (
+  SELECT e.vec_id, e.embedding::double[] AS v, c.cell,
+         list_dot_product(e.embedding::double[], c.c)
+         / greatest(sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])), 1e-12) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.v, q.qe
+  FROM probe p JOIN assign a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         list_dot_product(v, qe)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_dot_product(v, qe)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))) DESC,
+                    vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::int AS rank, vec_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= 10
+"""
+
+
 _EMB_CLONE_MOD = 50
 
 
@@ -1484,6 +1559,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH_NEARDUP),
         "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
+        "ann_ivf_topk_batch": (q_ann_ivf_topk_batch, _oracle_ann_ivf_batch()),
         "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
         "lsh_bucket_stats": (q_lsh_bucket_stats, _oracle_lsh_bucket_stats()),
         "quality": (q_quality, _oracle_quality()),
