@@ -809,6 +809,53 @@ ORDER BY band
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: quality thresholds + exact keep-one over
+    the docs WITH planted clones (so the dedup arm is non-vacuous — clones
+    pass the quality gate identically and exactly one survives)."""
+    from bliss_rs_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _docs_with_exact_clones(spark, sf_dir),
+        min_tokens=30,
+        max_stopword_ratio=0.15,
+        min_alnum_ratio=0.80,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio_r"),
+        _r6(F.col("alnum_ratio")).alias("alnum_ratio_r"),
+    )
+
+
+def _oracle_curate_corpus() -> str:
+    e = quality_exprs_duckdb("text")
+    return f"""
+WITH allv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+),
+sig AS (
+  SELECT doc_id, sha256(text) AS sha,
+         {e['n_tokens']}::bigint AS n_tokens,
+         {e['stopword_ratio']} AS stopword_ratio,
+         {e['alnum_ratio']} AS alnum_ratio
+  FROM allv
+),
+filtered AS (
+  SELECT * FROM sig
+  WHERE n_tokens >= 30 AND stopword_ratio <= 0.15 AND alnum_ratio >= 0.80
+),
+keep AS (SELECT sha, min(doc_id) AS doc_id FROM filtered GROUP BY sha)
+SELECT f.doc_id, f.n_tokens,
+       round(f.stopword_ratio, 6) AS stopword_ratio_r,
+       round(f.alnum_ratio, 6) AS alnum_ratio_r
+FROM filtered f JOIN keep k ON k.sha = f.sha AND k.doc_id = f.doc_id
+"""
+
+
 # --- text analysis --------------------------------------------------------------
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,6 +1610,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
         "lsh_bucket_stats": (q_lsh_bucket_stats, _oracle_lsh_bucket_stats()),
         "quality": (q_quality, _oracle_quality()),
+        "curate_corpus": (q_curate_corpus, _oracle_curate_corpus()),
         "lang_id": (q_lang_id, _oracle_lang_id()),
         "topk_per_lang": (q_topk_per_lang, ORACLE_TOPK_PER_LANG),
         "adjacent_gap": (q_adjacent_gap, ORACLE_ADJACENT_GAP),
