@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="packed policy: merge = repack touched shards "
                         "(read-optimized, hard-links the rest); segment = "
                         "pack only the delta as its own unit (zero rewrites)")
+    u.add_argument("--df-source", default="auto",
+                   choices=["auto", "checkpoint", "packed"],
+                   help="segment-mode df/sum_dl decrement source: checkpoint "
+                        "scan (O(delta) jobs) vs packed-unit decode; auto "
+                        "verifies checkpoint coverage and falls back")
+    u.add_argument("--no-maintain", action="store_true",
+                   help="skip the post-commit tiered compaction ladder")
 
     cp = sub.add_parser("compact", help="fold all packed units into one base pack "
                                         "(segment-merge for the query structure; "
@@ -146,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
                 name = update_index(
                     spark, docs, store, None,
                     delete_missing=args.delete_missing, repack=args.repack,
+                    df_source=args.df_source,
+                    auto_maintain=not args.no_maintain,
                 )
             import os
 
