@@ -750,9 +750,21 @@ def update_index(
     for df in to_unpersist:
         df.unpersist()
     if auto_maintain:
-        maintained = maintain(spark, store)
-        if maintained:
-            name = store.current_snapshot()
+        # the update itself has COMMITTED; a maintenance failure must not
+        # masquerade as an update failure (the caller would retry a change
+        # that already landed) — surface it as a warning instead
+        try:
+            maintained = maintain(spark, store)
+            if maintained:
+                name = store.current_snapshot()
+        except Exception as e:  # pragma: no cover - defensive
+            import warnings
+
+            warnings.warn(
+                f"post-commit maintenance failed (update {name} is intact): {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return name
 
 

@@ -506,6 +506,36 @@ def test_concurrent_commit_detected(spark, tmp_path):
     assert len(query_index(spark, store, "return", 3).collect()) == 3
 
 
+def test_orphan_segment_after_crash(spark, tmp_path):
+    """Crash between segment write and snapshot commit: the orphan segment
+    is INVISIBLE (no snapshot references it), later updates allocate fresh
+    seqs past it, and gc() reclaims it."""
+    from bliss_rs_spark.operators.build_index import tokenize_documents
+    from bliss_rs_spark.plans.lifecycle import _write_segment_from_tokenized
+
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, _docs(spark, 100), store, CFG, checkpoint=False)
+
+    # simulate the crash: a segment lands on disk, no commit follows
+    tokenized = tokenize_documents(_docs(spark, 110), CFG)
+    orphan = store.next_segment_name()
+    _write_segment_from_tokenized(spark, tokenized, store, CFG, orphan)
+    assert orphan in store.segments()
+    assert store.meta()["segments"] == ["seg_000001"]  # invisible
+    assert store.meta()["n_docs"] == 100
+    assert len(query_index(spark, store, "varbyte merge return", 5).collect()) == 5
+
+    # the next real update allocates a FRESH seq past the orphan
+    update_index(spark, _docs(spark, 120), store, CFG, repack="segment")
+    assert store.meta()["n_docs"] == 120
+    assert orphan not in store.meta()["segments"]
+    assert store.seg_seq(store.meta()["segments"][-1]) > store.seg_seq(orphan)
+
+    removed = store.gc(keep_last=2)
+    assert f"segments/{orphan}" in removed
+    assert len(query_index(spark, store, "varbyte merge return", 5).collect()) == 5
+
+
 def test_snapshot_gc(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     docs = _docs(spark, 60)
