@@ -98,6 +98,38 @@ def quality_exprs_duckdb(col: str = "text") -> dict[str, str]:
     }
 
 
+# --- BPE-style pre-tokenizer counts -------------------------------------------
+#
+# The GPT-2-family pre-tokenizer split, simplified to constructs both regex
+# engines (Java on the Spark side, RE2 in DuckDB) implement identically:
+# contraction suffixes, space-prefixed letter runs, space-prefixed digit
+# runs, space-prefixed punctuation runs, whitespace runs.  Both engines use
+# leftmost-first alternation, so the match streams are identical; the count
+# drops pure-whitespace matches (GPT-style tokenizers fold the leading
+# space into the following token).  This is the cheap "how many LLM tokens
+# is this document" budgeting signal — counting, not encoding (no merges).
+
+_BPE_PATTERN = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+)
+
+
+def bpe_token_count_spark(col: str = "content") -> str:
+    """Spark-SQL: count of BPE-pre-tokenizer pieces (whitespace runs
+    excluded).  Pure JVM regexp_extract_all + filter."""
+    return (
+        f"size(filter(regexp_extract_all({col}, '{_BPE_PATTERN}', 0), "
+        "x -> x not rlike '^[ \\t\\n\\r]+$'))"
+    )
+
+
+def bpe_token_count_duckdb(col: str = "text") -> str:
+    return (
+        f"len(list_filter(regexp_extract_all({col}, '{_BPE_PATTERN}'), "
+        "x -> not regexp_matches(x, '^[ \\t\\n\\r]+$')))"
+    )
+
+
 # --- shingles (word n-grams of the token stream) ------------------------------
 
 def shingles_spark(col: str = "content", n: int = 3) -> str:

@@ -809,6 +809,44 @@ ORDER BY band
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count budgeting signals per doc: whitespace tokens, analyzer
+    (code-aware) tokens, and BPE-pre-tokenizer pieces — the three counts a
+    training-data pipeline budgets with.  All JVM regex expressions,
+    mirrored in DuckDB."""
+    from bliss_rs_spark.functions.text_stats import (
+        bpe_token_count_spark,
+        quality_exprs_spark,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    ws = (
+        "size(filter(split(content, '[ \\t\\n\\r]+'), x -> x <> ''))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(ws).cast("long").alias("n_ws_tokens"),
+        F.expr(quality_exprs_spark("content")["n_tokens"]).cast("long").alias("n_code_tokens"),
+        F.expr(bpe_token_count_spark("content")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _oracle_token_counts() -> str:
+    from bliss_rs_spark.functions.text_stats import (
+        bpe_token_count_duckdb,
+        quality_exprs_duckdb,
+    )
+
+    ws = "len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> ''))"
+    return f"""
+SELECT doc_id,
+       {ws}::bigint AS n_ws_tokens,
+       {quality_exprs_duckdb('text')['n_tokens']}::bigint AS n_code_tokens,
+       {bpe_token_count_duckdb('text')}::bigint AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass: quality thresholds + exact keep-one over
     the docs WITH planted clones (so the dedup arm is non-vacuous — clones
@@ -1611,6 +1649,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "lsh_bucket_stats": (q_lsh_bucket_stats, _oracle_lsh_bucket_stats()),
         "quality": (q_quality, _oracle_quality()),
         "curate_corpus": (q_curate_corpus, _oracle_curate_corpus()),
+        "token_counts": (q_token_counts, _oracle_token_counts()),
         "lang_id": (q_lang_id, _oracle_lang_id()),
         "topk_per_lang": (q_topk_per_lang, ORACLE_TOPK_PER_LANG),
         "adjacent_gap": (q_adjacent_gap, ORACLE_ADJACENT_GAP),
