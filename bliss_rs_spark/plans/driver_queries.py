@@ -819,7 +819,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_exprs_spark,
     )
 
-    docs = _docs_adapted(spark, sf_dir)
+    # every 10th doc gets a camelCase/digits/punctuation suffix so the three
+    # counts genuinely DIVERGE (the raw testdata text is plain lowercase
+    # words, on which all three tokenizations coincide — a vacuous gate)
+    docs = _docs_adapted(spark, sf_dir).withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("content"), F.lit(" FooBar42, it's x99!")),
+        ).otherwise(F.col("content")),
+    )
     ws = (
         "size(filter(split(content, '[ \\t\\n\\r]+'), x -> x <> ''))"
     )
@@ -839,11 +848,18 @@ def _oracle_token_counts() -> str:
 
     ws = "len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> ''))"
     return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' FooBar42, it''s x99!'
+              ELSE text END AS text
+  FROM documents
+)
 SELECT doc_id,
        {ws}::bigint AS n_ws_tokens,
        {quality_exprs_duckdb('text')['n_tokens']}::bigint AS n_code_tokens,
        {bpe_token_count_duckdb('text')}::bigint AS n_bpe_tokens
-FROM documents
+FROM docs
 """
 
 
