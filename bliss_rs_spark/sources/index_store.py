@@ -249,11 +249,17 @@ class IndexStore:
         packed_units(); no pre-existing file is touched."""
         seg_dir = os.path.join(self.segments_dir, seg_name)
         assert os.path.isdir(seg_dir), seg_name
+        out = os.path.join(seg_dir, "packed")
         packed.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
             "shard"
-        ).parquet(os.path.join(seg_dir, "packed"))
+        ).parquet(out)
+        # an all-failed delta yields an EMPTY pack: guarantee a
+        # schema-bearing file so packed_units() can still read the unit
+        _ensure_schema_file(packed, out)
         if doc_map is not None:
-            doc_map.write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_map"))
+            dm_out = os.path.join(seg_dir, "doc_map")
+            doc_map.write.mode("overwrite").parquet(dm_out)
+            _ensure_schema_file(doc_map, dm_out)
 
     def packed_units(self, spark: SparkSession) -> list[tuple[int, DataFrame, DataFrame | None]]:
         """All packed units of the CURRENT snapshot: the base pack (snapshot

@@ -391,6 +391,34 @@ def test_all_failed_update_batch_keeps_store_readable(spark, tmp_path):
     assert len(query_index(spark, store, "return", 3).collect()) == 3
 
 
+def test_all_failed_segment_update_keeps_store_servable(spark, tmp_path):
+    """Segment-mode variant of the all-failed regression: the delta's own
+    (empty) pack must still be schema-readable, and every query path —
+    exhaustive, units WAND, WandServer, batch — keeps working."""
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import query_index_batch
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 60)
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    poisoned = with_invariants(
+        spark.createDataFrame(
+            [("r_poison", f"p{i}.rs", "c0", "rust", None) for i in range(4)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    update_index(spark, docs.unionByName(poisoned), store, CFG, repack="segment")
+
+    assert store.meta()["n_docs"] == 60
+    units = store.packed_units(spark)  # must not crash on the empty pack
+    assert all(u[1].count() >= 0 for u in units)
+    assert len(query_index(spark, store, "varbyte merge return", 5).collect()) == 5
+    assert len(query_index_batch(spark, store, [(1, "return", 5)]).collect()) == 5
+    server = WandServer.from_store(spark, store)
+    assert len(server.query("varbyte merge return", 5)) == 5
+    server.close()
+
+
 def test_version_sanity_refusal(spark, tmp_path):
     store = IndexStore(str(tmp_path / "idx"))
     build_full(spark, _docs(spark, 60), store, CFG, checkpoint=False)
