@@ -252,6 +252,42 @@ def test_wand_server_lazy_idf_and_distributed_tombstones(spark, tmp_path):
     lazy.close()
 
 
+def test_wand_server_non_ordinal_store_with_tombstones(spark, tmp_path):
+    """Serving a store built WITHOUT ordinal doc-ids (no doc-map sentinels;
+    dead sets stay in raw doc_id space inside the kernel) must match the
+    exhaustive scorer after deletions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.config import IndexConfig
+    from bliss_rs_spark.corpus import synth_documents, with_invariants
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import build_full, query_index, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(
+        block_size=16, n_doc_shards=4, n_term_buckets=8, ordinal_docids=False
+    )
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 120, seed=42))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    update_index(spark, docs.filter(F.col("doc_id") % 9 != 0), store, cfg,
+                 delete_missing=True, repack="segment")
+    assert store.load(spark, "tombstones").count() > 0
+
+    server = WandServer.from_store(spark, store)
+    assert server.single_stage
+    for q in ["varbyte merge return", "return", "blockMaxScore"]:
+        got = server.query(q, 10)
+        exp = [(r["doc_id"], r["score"])
+               for r in query_index(spark, store, q, 10, use_wand=False).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-12)
+    server.close()
+
+
 def test_auto_lsh_params_scale_and_bucket_stats(spark):
     """Round-2 parameter risk: fixed r=3 planes/band means ~n^2/128 candidate
     pairs at corpus scale.  auto_lsh_params grows rows/band ~log2(n) (bucket
