@@ -76,3 +76,37 @@ def test_positional_agrees_with_bag_of_words(spark, positional):
     a = {(r["term"], r["doc_id"]): r["tf"] for r in bag.collect()}
     b = {(r["term"], r["doc_id"]): r["tf"] for r in pos.select("term", "doc_id", "tf").collect()}
     assert a == b
+
+
+def test_phrase_over_segment_store_with_tombstones(spark, tmp_path):
+    """Phrase queries read the positional VIEW (segment union + tombstone
+    anti-filter): after a segment-mode update with changed + deleted docs,
+    results equal a from-scratch positional build of the live corpus."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.plans.lifecycle import build_full, phrase_query, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 150, seed=42))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+
+    docs_b = with_invariants(
+        with_invariants(synth_documents(spark, 170, seed=42)).withColumn(
+            "content",
+            F.when(F.col("doc_id") % 8 == 0,
+                   F.concat(F.lit("block max score intro\n"), F.col("content")))
+            .otherwise(F.col("content")),
+        ).drop("doc_id", "content_sha256")
+    ).filter(F.col("doc_id") % 19 != 4)
+    update_index(spark, docs_b, store, None, delete_missing=True, repack="segment")
+
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, docs_b, fresh, cfg, checkpoint=False)
+    for phrase in ["block max score", "fast merge"]:
+        got = {(r["doc_id"], r["phrase_tf"])
+               for r in phrase_query(spark, store, phrase, 25).collect()}
+        exp = {(r["doc_id"], r["phrase_tf"])
+               for r in phrase_query(spark, fresh, phrase, 25).collect()}
+        assert got == exp, phrase
