@@ -91,3 +91,41 @@ def test_migrate_is_resumable(spark, tmp_path):
     assert store.meta()["analyzer_version"] == 2
     assert store.meta()["n_docs"] == 80
     assert n_v2_before == half.count()  # the partial work existed and was reused
+
+
+def test_migrate_segment_store_with_churn(spark, tmp_path):
+    """Migration of a MULTI-UNIT store with tombstones (segment updates with
+    changes + deletions first): the v2 rebuild folds everything, carries only
+    LIVE docs at their CURRENT content, and matches a from-scratch v2 build
+    of the same corpus."""
+    from bliss_rs_spark.corpus import with_invariants
+    from bliss_rs_spark.plans.lifecycle import query_index, update_index
+
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 120)
+    build_full(spark, docs, store, CFG_V1, checkpoint=True)
+    docs_b = with_invariants(
+        _docs(spark, 140).withColumn(
+            "content",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("content"), F.lit("\nzzmigzz")))
+            .otherwise(F.col("content")),
+        ).drop("doc_id", "content_sha256")
+    ).filter(F.col("doc_id") % 13 != 2)
+    update_index(spark, docs_b, store, None, delete_missing=True, repack="segment")
+    assert store.load(spark, "tombstones").count() > 0
+
+    migrate(spark, store, CFG_V2)
+    assert store.meta()["analyzer_version"] == 2
+    assert store.meta()["n_docs"] == docs_b.count()
+    assert store.load(spark, "tombstones").count() == 0
+    assert len(store.meta()["segments"]) == 1
+
+    fresh = IndexStore(str(tmp_path / "fresh"))
+    build_full(spark, docs_b, fresh, CFG_V2, checkpoint=False)
+    for q in ["zzmigzz", "varbyte merge return"]:
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in query_index(spark, store, q, 10).collect()]
+        exp = [(r["doc_id"], round(r["score"], 9))
+               for r in query_index(spark, fresh, q, 10).collect()]
+        assert got == exp, q
