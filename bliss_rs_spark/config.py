@@ -56,6 +56,11 @@ class IndexConfig:
     # ``compact_max_tombstone_ratio`` x n_docs.  <= 0 disables a rung.
     compact_max_units: int = 8
     compact_max_tombstone_ratio: float = 0.25
+    # Absolute ceiling beside the ratio: at 10^9 docs a 0.25 ratio alone
+    # would let 2.5e8 tombstones accrete before compaction; the absolute
+    # trigger bounds dead-set frames and compaction debt regardless of
+    # corpus size.  <= 0 disables (the ratio rung still applies).
+    compact_max_tombstones: int = 10_000_000
 
     # Persist positional postings (term, doc_id, positions) alongside the
     # bag-of-words index so the store can answer exact phrase queries.

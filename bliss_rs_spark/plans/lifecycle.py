@@ -905,6 +905,7 @@ def maintain(
     store: IndexStore,
     max_units: int | None = None,
     max_tombstone_ratio: float | None = None,
+    max_tombstones: int | None = None,
 ) -> list[str]:
     """Tiered maintenance ladder (the Lucene merge-policy analogue), run
     automatically after every update_index commit — the reference runs its
@@ -917,11 +918,13 @@ def maintain(
       compact_packs folds them into one base.  O(total packed bytes), no
       re-tokenization, segments untouched.
     rung 2 — tombstone churn: tombstones exceeding
-      cfg.compact_max_tombstone_ratio * n_docs -> compact_full rebuilds from
-      the checkpoint (folds segments, clears tombstones, re-pins avgdl) —
-      this also bounds every churn-sized driver structure (tombstone_dict,
-      WAND dead sets).  Skipped when the store has no checkpoint (rung 1
-      still applies).
+      cfg.compact_max_tombstone_ratio * n_docs OR the absolute
+      cfg.compact_max_tombstones ceiling (the ratio alone is corpus-
+      fraction-sized: 0.25 of 10^9 docs is 2.5e8 rows of dead-set debt)
+      -> compact_full rebuilds from the checkpoint (folds segments, clears
+      tombstones, re-pins avgdl) — this bounds the churn-sized dead-set
+      frames every query cogroupes.  Skipped when the store has no
+      checkpoint (rung 1 still applies).
 
     Thresholds <= 0 disable a rung.  Returns the actions taken ([] = store
     healthy; the common case — two directory probes and one tiny count)."""
@@ -933,14 +936,14 @@ def maintain(
         max_units = cfg.compact_max_units
     if max_tombstone_ratio is None:
         max_tombstone_ratio = cfg.compact_max_tombstone_ratio
+    if max_tombstones is None:
+        max_tombstones = cfg.compact_max_tombstones
     actions: list[str] = []
     n_docs = max(int(meta.get("n_docs", 0)), 1)
     n_tomb = store.load(spark, "tombstones").count()
-    if (
-        max_tombstone_ratio > 0
-        and n_tomb > max_tombstone_ratio * n_docs
-        and store.has_checkpoint()
-    ):
+    over_ratio = max_tombstone_ratio > 0 and n_tomb > max_tombstone_ratio * n_docs
+    over_abs = max_tombstones > 0 and n_tomb > max_tombstones
+    if (over_ratio or over_abs) and store.has_checkpoint():
         try:
             compact_full(spark, store)
             return ["compact_full"]  # subsumes rung 1: 1 unit, 0 tombstones
@@ -1027,11 +1030,11 @@ def query_index(
         from bliss_rs_spark.operators.wand import wand_topk, wand_topk_units
 
         units = store.packed_units(spark) if "segments" in meta else None
-        tomb = store.tombstone_dict(spark) if "segments" in meta else {}
-        if units is not None and (len(units) > 1 or tomb):
+        has_tomb = store.has_tombstones(spark) if units is not None else False
+        if units is not None and (len(units) > 1 or has_tomb):
             return wand_topk_units(
                 spark, units, term_stats, meta["avgdl"], query_text, k, cfg,
-                tombstones=tomb,
+                tombstones=store.tombstone_frame(spark) if has_tomb else None,
             )
         packed = store.load(spark, "packed")
         doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
@@ -1065,7 +1068,11 @@ def query_index_batch(
         queries,
         cfg,
         units=store.packed_units(spark),
-        tombstones=store.tombstone_dict(spark),
+        # the probe keeps tombstone-free stores on the meta-less fast plan;
+        # with churn the frame goes through distributed (never collected)
+        tombstones=(
+            store.tombstone_frame(spark) if store.has_tombstones(spark) else None
+        ),
     )
 
 

@@ -290,9 +290,25 @@ class IndexStore:
                 ))
         return units
 
+    def tombstone_frame(self, spark: SparkSession) -> DataFrame | None:
+        """The (doc_id, before_seq) tombstones frame, NEVER collected — this
+        is what query paths hand to the WAND kernels, which turn it into
+        per-(unit, shard) dead sets distributed (operators/wand.py:
+        _dead_sets_df).  None for layout-1 stores (no tombstones on disk)."""
+        if "segments" not in self.meta():
+            return None
+        return self.load(spark, "tombstones")
+
+    def has_tombstones(self, spark: SparkSession) -> bool:
+        """Cheap existence probe (one limit(1) job over the churn-sized
+        frame) — used to pick the single-unit fast path in query_index."""
+        tomb = self.tombstone_frame(spark)
+        return tomb is not None and tomb.limit(1).count() > 0
+
     def tombstone_dict(self, spark: SparkSession) -> dict[int, int]:
-        """{doc_id: before_seq} — churn-sized, safe to collect.  Empty for
-        layout-1 stores (which have no tombstones frame on disk)."""
+        """{doc_id: before_seq} — collected to the driver; test/debug
+        convenience ONLY.  No query path calls this (round-4): serving and
+        batch querying keep tombstones distributed via tombstone_frame()."""
         if "segments" not in self.meta():
             return {}
         return {

@@ -689,6 +689,24 @@ def test_auto_maintain_tombstone_full_compact(spark, tmp_path):
     assert _canon_snapshot(spark, store) == _canon_snapshot(spark, fresh)
 
 
+def test_auto_maintain_absolute_tombstone_trigger(spark, tmp_path):
+    """Round-4: the ABSOLUTE tombstone ceiling fires even when the ratio rung
+    would not — the ratio alone is corpus-fraction-sized (0.25 of 10^9 docs
+    is 2.5e8 rows of dead-set debt before compaction)."""
+    from dataclasses import replace
+
+    # ratio effectively disabled, absolute cap tiny: 5% churn must compact
+    cfg = replace(CFG, compact_max_tombstone_ratio=0.99, compact_max_tombstones=3)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = _docs(spark, 100)
+    build_full(spark, docs, store, cfg)
+    shrunk = docs.filter(F.col("doc_id") % 20 != 0)  # ~5% deleted: > 3 abs
+    update_index(spark, shrunk, store, None, delete_missing=True, repack="segment")
+    assert store.load(spark, "tombstones").count() == 0  # compact_full ran
+    assert len(store.meta()["segments"]) == 1
+    assert store.meta()["n_docs"] == shrunk.count()
+
+
 def test_compact_full_refuses_partial_checkpoint(spark, tmp_path):
     """A store whose checkpoint covers only part of the corpus (built with
     checkpoint=False, updated with checkpoint=True) must REFUSE a full

@@ -238,7 +238,9 @@ def test_wand_server_lazy_idf_and_distributed_tombstones(spark, tmp_path):
         tombstones=store.load(spark, "tombstones"), driver_idf=False,
     )
     assert eager.single_stage and lazy.single_stage
-    assert lazy._tomb_dict_cache is None  # frame never collected
+    # round 4: the driver tombstone dict is GONE — the server holds only the
+    # frame; there is no collected cache to even exist
+    assert not hasattr(lazy, "_tomb_dict_cache")
     for q in ["varbyte merge return", "return", "no_such_term_zz"]:
         got_e = eager.query(q, 10)
         got_l = lazy.query(q, 10)
@@ -247,7 +249,6 @@ def test_wand_server_lazy_idf_and_distributed_tombstones(spark, tmp_path):
     # nowhere near the vocab
     assert 0 < len(lazy._idf_cache) <= 10
     assert any(v is None for v in lazy._idf_cache.values())  # negative entries
-    assert lazy._tomb_dict_cache is None  # still never collected
     eager.close()
     lazy.close()
 
