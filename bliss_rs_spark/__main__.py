@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--k", type=int, default=10)
     sv.add_argument("--queries", default=None,
                     help="file with one query per line (default: stdin)")
+    sv.add_argument("--phrase", action="store_true",
+                    help="serve exact-phrase queries (PhraseServer; index "
+                         "must be built with --positions)")
 
     st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
     st.add_argument("--index", required=True)
@@ -166,11 +169,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "serve":
             import time
 
-            from bliss_rs_spark.operators.wand import WandServer
+            if args.phrase:
+                from bliss_rs_spark.operators.phrase import PhraseServer
 
-            server = WandServer.from_store(spark, store)
-            print(json.dumps({"ready": True, "single_stage": server.single_stage,
-                              "units": len(server._units)}), flush=True)
+                server = PhraseServer.from_store(spark, store)
+                print(json.dumps({"ready": True, "mode": "phrase"}), flush=True)
+            else:
+                from bliss_rs_spark.operators.wand import WandServer
+
+                server = WandServer.from_store(spark, store)
+                print(json.dumps({"ready": True, "single_stage": server.single_stage,
+                                  "units": len(server._units)}), flush=True)
             lines = open(args.queries) if args.queries else sys.stdin
             try:
                 for line in lines:

@@ -57,3 +57,22 @@ def test_cli_lifecycle(tmp_path):
     assert mig["analyzer_version"] == 2
     (stats2,) = _run("stats", "--index", index)
     assert stats2["meta"]["analyzer_version"] == 2
+
+
+def test_cli_phrase_serve(tmp_path):
+    """serve --phrase: the PhraseServer loop answers exact-phrase queries
+    identical to the one-shot query --phrase path."""
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    _run("synth", "--n", "150", "--dest", corpus)
+    _run("build", "--source", corpus, "--index", index, "--positions")
+
+    (q,) = _run("query", "--index", index, "--text", "fast merge",
+                "--k", "5", "--phrase")
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("fast merge\n")
+    ready, r1 = _run("serve", "--index", index, "--k", "5", "--phrase",
+                     "--queries", str(qfile))
+    assert ready["ready"] and ready["mode"] == "phrase"
+    assert [(x["doc_id"], x["score"]) for x in r1["results"]] == \
+        [(x["doc_id"], x["phrase_tf"]) for x in q["results"]]

@@ -110,3 +110,64 @@ def test_phrase_over_segment_store_with_tombstones(spark, tmp_path):
         exp = {(r["doc_id"], r["phrase_tf"])
                for r in phrase_query(spark, fresh, phrase, 25).collect()}
         assert got == exp, phrase
+
+
+def test_phrase_server_rank_identical(spark, positional):
+    """PhraseServer (one shuffle-free job) == phrase_topk (batch path),
+    rank-for-rank including duplicate-term phrases and misses."""
+    from bliss_rs_spark.operators.phrase import PhraseServer
+
+    pos, _ = positional
+    server = PhraseServer(spark, pos, CFG)
+    try:
+        for phrase in [
+            "fast merge", "block max score", "return return",
+            "zzz yyy xxx", "buffer",
+        ]:
+            got = server.query(phrase, 10)
+            exp = [
+                (int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in phrase_topk(spark, pos, phrase, 10, CFG).collect()
+            ]
+            assert got == exp, phrase
+        assert server.query("", 10) == []
+    finally:
+        server.close()
+
+
+def test_phrase_server_over_churned_store(spark, tmp_path):
+    """from_store serves the tombstone-filtered positional view: identical
+    to the batch phrase_query after segment updates + deletions."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, phrase_query, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 120, seed=7))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    update_index(
+        spark,
+        docs.filter(F.col("doc_id") % 9 != 0),
+        store, None, delete_missing=True, repack="segment",
+    )
+    server = PhraseServer.from_store(spark, store)
+    try:
+        for phrase in ["fast merge", "block max"]:
+            got = server.query(phrase, 15)
+            exp = [
+                (int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in phrase_query(spark, store, phrase, 15).collect()
+            ]
+            assert got == exp, phrase
+    finally:
+        server.close()
+
+    # a store built without positions must refuse serving, same as the
+    # batch path
+    bare = IndexStore(str(tmp_path / "bare"))
+    build_full(spark, docs, bare, CFG, checkpoint=False)
+    with pytest.raises(ValueError, match="without positions"):
+        PhraseServer.from_store(spark, bare)
