@@ -209,6 +209,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -231,6 +232,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # round-4 ADVICE fix: silently-wrong partial labels on a graph with
+        # diameter > max_iter would make near_dedup_keep_one keep extra
+        # duplicates with no signal — surface it
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (component diameter exceeds it); labels are "
+            f"PARTIAL — rerun with a larger max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
 
 

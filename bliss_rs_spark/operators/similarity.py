@@ -87,6 +87,7 @@ def auto_lsh_params(
     target_bucket_size: int = 64,
     min_rows: int = 3,
     max_rows: int = 24,
+    max_bands: int = 32,
 ) -> tuple[int, int]:
     """(n_planes, bands) scaled to corpus size — the round-2 parameter risk:
     a FIXED r=3 planes/band gives only 8 buckets/band, so candidate pairs
@@ -97,21 +98,42 @@ def auto_lsh_params(
     and candidate pairs grow ~O(n * target_bucket_size * bands), linear in
     n.  bands then come from the S-curve P[candidate] = 1-(1-p^r)^b with
     p = 1 - theta/pi (theta = arccos(threshold)): the smallest b reaching
-    ``recall_target`` at the threshold.  r is capped (p^r underflow makes b
-    explode); past the cap, grow target_bucket_size instead — verification
-    cost per vector rises, but stays linear."""
+    ``recall_target`` at the threshold.  BOTH knobs are bounded: r is capped
+    (p^r underflow makes b explode) and b is capped at ``max_bands`` (each
+    band is n_planes/bands literal projection expressions in the plan —
+    unbounded b is the same driver plan-blowup class as the old ivf_assign
+    when-chain).  When the b the S-curve asks for exceeds max_bands, r is
+    walked DOWN first (bigger buckets == the documented grow-
+    target_bucket_size fallback: verification cost per vector rises but
+    stays linear, recall target holds); only at r == min_rows is b finally
+    clamped, trading recall."""
     import math
 
     n = max(int(n_vectors), 1)
     r = int(math.ceil(math.log2(max(n / max(target_bucket_size, 1), 2.0))))
     r = max(min_rows, min(max_rows, r))
     p = 1.0 - math.acos(min(max(cosine_threshold, -1.0), 1.0)) / math.pi
-    pr = p**r
-    if pr >= 1.0:
-        b = 1
-    else:
-        b = int(math.ceil(math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - pr)))
-    return r * max(b, 1), max(b, 1)
+
+    def bands_for(rows: int) -> int:
+        pr = p**rows
+        if pr >= 1.0:
+            return 1
+        return max(
+            int(
+                math.ceil(
+                    math.log(max(1.0 - recall_target, 1e-12))
+                    / math.log(1.0 - pr)
+                )
+            ),
+            1,
+        )
+
+    b = bands_for(r)
+    while b > max_bands and r > min_rows:
+        r -= 1
+        b = bands_for(r)
+    b = min(b, max_bands)
+    return r * b, b
 
 
 def _banded_keys(
@@ -214,10 +236,19 @@ def embedding_neardup_pairs(
         np_auto, b_auto = auto_lsh_params(
             emb.count(), cosine_threshold, recall_target, target_bucket_size
         )
-        if bands is None:
+        r_auto = np_auto // b_auto
+        if n_planes is None and bands is None:
             n_planes, bands = np_auto, b_auto
+        elif n_planes is None:
+            # bands given: auto rows/band x the caller's band count
+            n_planes = r_auto * bands
         else:
-            n_planes = (np_auto // b_auto) * bands
+            # n_planes given (round-4 ADVICE fix: the explicit value was
+            # previously discarded): derive bands from it at the auto
+            # rows/band, rounding n_planes DOWN to a whole number of bands
+            rows = max(min(r_auto, n_planes), 1)
+            bands = max(n_planes // rows, 1)
+            n_planes = (n_planes // bands) * bands
     banded = _banded_keys(emb, n_planes, bands, seed, dim, vec_col, id_col)
     cand = (
         banded.alias("x")

@@ -44,7 +44,17 @@ def _cached_doc_map(b: bytes) -> np.ndarray:
     reuses worker processes across jobs (spark.python.worker.reuse), so a
     served shard decodes its map once, not once per query.  Keyed by the
     bytes content itself (hashable, immutable); bounded LRU, read-only
-    result so cache sharing is safe."""
+    result so cache sharing is safe.
+
+    Content keying is deliberate (round-4 ADVICE note): a (unit, shard)
+    tuple key would serve STALE maps after a snapshot update inside the
+    same long-lived worker, and any shorter digest still has to read the
+    whole payload to compute — the per-hit cost either way is one O(bytes)
+    pass (CPython additionally caches a bytes object's hash in the object,
+    so retries within a task are free), ~ms against a multi-second decode
+    miss.  Entry-count bounds are adequate: 64 maps x the largest shard
+    maps this engine packs (~8 B/doc) stays far under worker memory, and
+    eviction is only a re-decode."""
     from bliss_rs_spark.functions.codec import decode_doc_ids
 
     arr = decode_doc_ids(b)
@@ -692,11 +702,14 @@ class WandServer:
         if driver_idf is None:
             driver_idf = n_vocab <= 2_000_000
         self._driver_idf = bool(driver_idf)
-        self._idf_cache: dict[str, float | None] = {}
         if self._driver_idf:
-            self._idf_cache = {
+            self._idf_cache: dict[str, float | None] = {
                 r["term"]: float(r["idf"]) for r in self._ts.collect()
             }
+        else:
+            from collections import OrderedDict
+
+            self._idf_cache = OrderedDict()
 
         # --- tombstones: churn-scale, never collected — stays a frame
         tomb_df = _as_tombstone_df(spark, tombstones)
@@ -787,24 +800,39 @@ class WandServer:
             else None,
         )
 
+    # lazy-mode warm-term budget: ~256k cached (term, idf) pairs is a few
+    # tens of MB of driver memory — a hard bound (round-4 ADVICE fix: the
+    # "LRU" was an unbounded dict, so a pathological stream of distinct
+    # query terms grew the driver without limit)
+    IDF_CACHE_MAX = 262_144
+
     def _resolve_idfs(self, terms: list[str]) -> dict[str, float]:
         """Per-query idf lookup.  Driver-dict mode answers from memory; lazy
         mode pays ONE filtered collect over the persisted (distributed)
-        term_stats for terms not yet cached, with negative caching so absent
-        terms never re-query."""
-        missing = [t for t in set(terms) if t not in self._idf_cache]
-        if missing and not self._driver_idf:
+        term_stats for terms not yet cached, with a genuine bounded LRU
+        (negative entries included, so absent terms never re-query)."""
+        cache = self._idf_cache
+        if self._driver_idf:
+            return {
+                t: cache[t] for t in terms if cache.get(t) is not None
+            }
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
             found = {
                 r["term"]: float(r["idf"])
                 for r in self._ts.filter(F.col("term").isin(missing)).collect()
             }
             for t in missing:
-                self._idf_cache[t] = found.get(t)
-        return {
-            t: self._idf_cache[t]
-            for t in terms
-            if self._idf_cache.get(t) is not None
-        }
+                cache[t] = found.get(t)
+        out = {}
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)  # touch: true LRU recency
+                if cache[t] is not None:
+                    out[t] = cache[t]
+        while len(cache) > self.IDF_CACHE_MAX:
+            cache.popitem(last=False)
+        return out
 
     def query(self, query_text: str, k: int = 10, lang: str | None = None):
         """-> [(doc_id, score)] exact top-k, rank-identical to wand_topk."""
