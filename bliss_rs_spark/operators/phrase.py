@@ -18,11 +18,137 @@ via ``feature_index`` (UNIQUE(song_id, feature_index),
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bliss_rs_spark.config import IndexConfig
 from bliss_rs_spark.functions.tokenizer import tokenize_sql_spark, tokenize_text
+
+
+def encode_positional_blob(
+    doc_ids: np.ndarray, lens: np.ndarray, flat_pos: np.ndarray
+) -> bytes:
+    """One (shard, term)'s positional postings as a single binary blob:
+
+        header <III>: byte lengths of the three varbyte streams
+        stream A  delta+varbyte sorted doc_ids
+        stream B  varbyte per-doc position counts
+        stream C  varbyte per-doc-delta positions (first absolute, then gaps)
+
+    Positions delta-encode extremely well (gaps are small ints -> 1 byte),
+    so the packed form is ~3-5x smaller than row-per-(term, doc) parquet
+    AND crosses the Arrow boundary as one value per (shard, term) instead
+    of one row per (term, doc) — the transfer term that dominated hot-term
+    phrase latency.  Same codec family as the packed BM25 index
+    (functions/codec.py)."""
+    from bliss_rs_spark.functions.codec import encode_doc_ids, varbyte_encode
+
+    d = flat_pos.astype(np.int64).copy()
+    if len(d):
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        d[1:] -= flat_pos[:-1]
+        d[starts] = flat_pos[starts]  # each doc's first position absolute
+    a = encode_doc_ids(doc_ids)
+    b = varbyte_encode(lens.astype(np.uint64))
+    c = varbyte_encode(d.astype(np.uint64))
+    return struct.pack("<III", len(a), len(b), len(c)) + a + b + c
+
+
+def decode_positional_blob(
+    blob: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids, lens, flat_abs_positions) — the flat arrays the phrase
+    kernel consumes directly (no per-doc lists are ever materialized)."""
+    from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
+
+    la, lb, lc = struct.unpack_from("<III", blob)
+    o = 12
+    doc_ids = decode_doc_ids(blob[o:o + la])
+    lens = varbyte_decode(blob[o + la:o + la + lb]).astype(np.int64)
+    d = varbyte_decode(blob[o + la + lb:o + la + lb + lc]).astype(np.int64)
+    if len(d):
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cs = np.cumsum(d)
+        base = cs[starts] - d[starts]
+        flat = cs - np.repeat(base, lens)
+    else:
+        flat = d
+    return doc_ids, lens, flat
+
+
+def pack_positional(
+    positional: DataFrame, cfg: IndexConfig | None = None
+) -> DataFrame:
+    """Positional rows (term, doc_id, positions) -> one blob per
+    (shard, term), doc-sharded like the packed BM25 index (pmod(xxhash64)).
+
+    Same single-pass shape as build_packed_index (operators/pack.py:272):
+    ONE shuffle (repartition by shard) + sortWithinPartitions(shard, term,
+    doc_id) + a mapInPandas pass that slices each sorted Arrow batch into
+    term groups and carries the tail group across batch boundaries — Python
+    overhead per Arrow batch, never per (shard, term) group."""
+    cfg = cfg or IndexConfig()
+    sharded = positional.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
+    ).select("shard", "term", "doc_id", "positions")
+    arranged = sharded.repartition(cfg.n_doc_shards, "shard").sortWithinPartitions(
+        "shard", "term", "doc_id"
+    )
+
+    def pack_stream(batches):
+        run: dict | None = None  # carried (shard, term) tail group
+
+        def emit(shard, term, docs, plists, out):
+            docs = np.asarray(docs, dtype=np.int64)
+            lens = np.fromiter(
+                (len(p) for p in plists), dtype=np.int64, count=len(plists)
+            )
+            flat = (
+                np.concatenate(plists).astype(np.int64)
+                if len(plists)
+                else np.empty(0, np.int64)
+            )
+            out["shard"].append(shard)
+            out["term"].append(term)
+            out["pblob"].append(encode_positional_blob(docs, lens, flat))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"shard": [], "term": [], "pblob": []}
+            shards = pdf["shard"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            plists = pdf["positions"].tolist()
+            change = np.nonzero(
+                (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            )[0] + 1
+            bounds = np.concatenate(([0], change, [len(shards)]))
+            for i in range(len(bounds) - 1):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                grp = (int(shards[s]), terms[s], docs[s:e], plists[s:e])
+                if run is not None and run[0] == grp[0] and run[1] == grp[1]:
+                    run = (
+                        run[0], run[1],
+                        np.concatenate([run[2], grp[2]]),
+                        run[3] + grp[3],
+                    )
+                    continue
+                if run is not None:
+                    emit(run[0], run[1], run[2], run[3], out)
+                run = (grp[0], grp[1], grp[2], list(grp[3]))
+            if out["term"]:
+                yield pd.DataFrame(out)
+        if run is not None:
+            out = {"shard": [], "term": [], "pblob": []}
+            emit(run[0], run[1], run[2], run[3], out)
+            yield pd.DataFrame(out)
+
+    return arranged.mapInPandas(pack_stream, "shard int, term string, pblob binary")
 
 
 def build_positional_postings(docs: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
@@ -107,20 +233,59 @@ def phrase_topk(
     )
 
 
+def _phrase_topk_from_flat(
+    flat: dict, offsets: dict, n_terms: int, k: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """The vectorized phrase chain over flat (doc, position) arrays: encode
+    each pair as doc_idx * m + (pos - slot + n), intersect across slots with
+    np.intersect1d, count survivors per doc.  Returns local top-k
+    (ids, tfs) or None when no doc survives — shared by both PhraseServer
+    kernels (row and packed)."""
+    all_docs = np.unique(np.concatenate([flat[t][0] for t in offsets]))
+    maxpos = max((int(p.max()) if len(p) else 0) for _, p in flat.values())
+    m = maxpos + n_terms + 2  # key stride: doc_idx * m + shifted pos
+    surv: np.ndarray | None = None
+    for t, offs in offsets.items():
+        d, p = flat[t]
+        di = np.searchsorted(all_docs, d)
+        for off in offs:
+            keys = di * m + (p - off + n_terms)
+            surv = (
+                np.sort(keys)
+                if surv is None
+                else np.intersect1d(surv, keys, assume_unique=True)
+            )
+            if not len(surv):
+                return None
+    counts = np.bincount(surv // m, minlength=len(all_docs))
+    nz = np.nonzero(counts)[0]
+    ids, tfs = all_docs[nz], counts[nz]
+    top = np.lexsort((ids, -tfs))[:k]
+    return ids[top], tfs[top]
+
+
 class PhraseServer:
     """Low-latency phrase serving: warm exact-phrase top-k in ONE
     shuffle-free job — the positional sibling of WandServer (round-3 verdict
     "what's missing" #4: interactive phrase queries paid the batch path's
     n-way join + window, seconds where term queries pay ~0.4s).
 
-    Same structural move as WandServer: the positional frame is hash-
-    repartitioned ONCE by doc_id and persisted, so every doc's term rows are
-    wholly inside one partition BY CONSTRUCTION (deterministic exchange —
-    survives executor loss and partition recompute).  Per query:
-    filter(term isin phrase terms) over the cached partitions ->
-    mapInPandas runs the position-intersection chain per complete doc and
-    emits its partition's local top-k -> tiny (partitions x k) driver merge.
-    No shuffle, no join, no window, one stage.
+    Same structural move as WandServer: the positional data is hash-
+    repartitioned ONCE (by doc shard in packed mode, by doc_id in row mode)
+    and persisted, so every doc's term rows are wholly inside one partition
+    BY CONSTRUCTION (deterministic exchange — survives executor loss and
+    partition recompute).  Per query: filter(term isin phrase terms) over
+    the cached partitions -> mapInPandas runs the position-intersection
+    chain per complete doc and emits its partition's local top-k -> tiny
+    (partitions x k) driver merge.  No shuffle, no join, no window, one
+    stage.
+
+    ``packed=True`` (default) additionally folds the rows into one
+    delta+varbyte blob per (shard, term) at init (pack_positional): the
+    per-query Arrow transfer becomes a handful of blobs instead of one row
+    per (term, doc), which is the dominant cost for hot terms — and the
+    cached footprint shrinks by the same codec ratio as the packed BM25
+    index.
 
     Rank-identical to phrase_topk (same |∩ (Pi - i)| count, same
     (phrase_tf DESC, doc_id ASC) tie-break; tested).  Reference analogue:
@@ -134,35 +299,58 @@ class PhraseServer:
         positional: DataFrame,
         cfg: IndexConfig | None = None,
         target_partitions: int | None = None,
+        packed: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or IndexConfig()
         if target_partitions is None:
             target_partitions = spark.sparkContext.defaultParallelism
+        n_parts = max(int(target_partitions), 1)
         # sortWithinPartitions never moves rows across partitions, so doc
         # completeness holds; it clusters each term's rows contiguously so
         # the in-memory columnar cache's per-batch min/max stats prune the
         # per-query term filter to a handful of batches
-        self.pos = (
-            positional.select("term", "doc_id", "positions")
-            .repartition(max(int(target_partitions), 1), "doc_id")
-            .sortWithinPartitions("term")
-            .persist()
-        )
+        if "pblob" in positional.columns:
+            packed = True
+            pk = positional.select("shard", "term", "pblob")
+        elif packed:
+            # pack at init (one job): per-query Arrow transfer becomes one
+            # blob per (shard, term) instead of one row per (term, doc) —
+            # the term that dominated hot-phrase latency
+            pk = pack_positional(positional, self.cfg)
+        self.packed = bool(packed)
+        if self.packed:
+            # shard = pmod(xxhash64(doc_id)) -> docs complete per partition
+            self.pos = (
+                pk.repartition(n_parts, "shard")
+                .sortWithinPartitions("term")
+                .persist()
+            )
+        else:
+            self.pos = (
+                positional.select("term", "doc_id", "positions")
+                .repartition(n_parts, "doc_id")
+                .sortWithinPartitions("term")
+                .persist()
+            )
         self.pos.count()  # warm the cache outside any query
 
     @classmethod
-    def from_store(cls, spark: SparkSession, store) -> "PhraseServer":
+    def from_store(
+        cls, spark: SparkSession, store, packed: bool = True
+    ) -> "PhraseServer":
         """Serve the CURRENT snapshot.  store.load('positional') is already
         the tombstone-filtered union across segments, so deleted/re-indexed
-        docs never reach the kernel."""
+        docs never reach the kernel (the pack, when enabled, encodes only
+        live rows — a snapshot-consistent acceleration structure, same
+        semantics as WandServer's cached pack)."""
         cfg_s = store.config()
         if not cfg_s.store_positions:
             raise ValueError(
                 "index was built without positions; rebuild with "
                 "IndexConfig(store_positions=True) to serve phrase queries"
             )
-        return cls(spark, store.load(spark, "positional"), cfg_s)
+        return cls(spark, store.load(spark, "positional"), cfg_s, packed=packed)
 
     def query(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
         """-> [(doc_id, phrase_tf)] exact top-k, rank-identical to
@@ -191,9 +379,11 @@ class PhraseServer:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "phrase_tf": pd.Series([], dtype="int32")})
 
+        is_packed = self.packed
+
         def kernel(batches):
-            # accumulate the partition's batches: a doc's term rows may
-            # straddle Arrow batch boundaries
+            # accumulate the partition's batches: a term's rows may straddle
+            # Arrow batch boundaries
             chunks = list(batches)
             if not chunks:
                 yield empty
@@ -205,44 +395,34 @@ class PhraseServer:
                 if len(sub) == 0:
                     yield empty  # term absent from this partition entirely
                     return
-                docs_t = sub["doc_id"].to_numpy(np.int64)
-                plists = sub["positions"].tolist()
-                lens = np.fromiter(
-                    (len(p) for p in plists), dtype=np.int64, count=len(plists)
-                )
-                pos_flat = (
-                    np.concatenate(plists).astype(np.int64)
-                    if len(plists)
-                    else np.empty(0, np.int64)
-                )
-                flat[t] = (np.repeat(docs_t, lens), pos_flat)
-            all_docs = np.unique(
-                np.concatenate([flat[t][0] for t in offsets])
-            )
-            maxpos = max(
-                (int(p.max()) if len(p) else 0) for _, p in flat.values()
-            )
-            m = maxpos + n_terms + 2  # key stride: doc_idx * m + shifted pos
-            surv: np.ndarray | None = None
-            for t, offs in offsets.items():
-                d, p = flat[t]
-                di = np.searchsorted(all_docs, d)
-                for off in offs:
-                    keys = di * m + (p - off + n_terms)
-                    surv = (
-                        np.sort(keys)
-                        if surv is None
-                        else np.intersect1d(surv, keys, assume_unique=True)
+                if is_packed:
+                    ds, ps = [], []
+                    for blob in sub["pblob"]:
+                        di, lens, fp = decode_positional_blob(bytes(blob))
+                        ds.append(np.repeat(di, lens))
+                        ps.append(fp)
+                    flat[t] = (np.concatenate(ds), np.concatenate(ps))
+                else:
+                    docs_t = sub["doc_id"].to_numpy(np.int64)
+                    plists = sub["positions"].tolist()
+                    lens = np.fromiter(
+                        (len(p) for p in plists),
+                        dtype=np.int64,
+                        count=len(plists),
                     )
-                    if not len(surv):
-                        yield empty
-                        return
-            counts = np.bincount(surv // m, minlength=len(all_docs))
-            nz = np.nonzero(counts)[0]
-            ids, tfs = all_docs[nz], counts[nz]
-            top = np.lexsort((ids, -tfs))[:kk]
+                    pos_flat = (
+                        np.concatenate(plists).astype(np.int64)
+                        if len(plists)
+                        else np.empty(0, np.int64)
+                    )
+                    flat[t] = (np.repeat(docs_t, lens), pos_flat)
+            top = _phrase_topk_from_flat(flat, offsets, n_terms, kk)
+            if top is None:
+                yield empty
+                return
+            ids, tfs = top
             yield pd.DataFrame(
-                {"doc_id": ids[top], "phrase_tf": tfs[top].astype("int32")}
+                {"doc_id": ids, "phrase_tf": tfs.astype("int32")}
             )
 
         partials = (

@@ -1307,6 +1307,28 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-phrase search served through the PACKED positional path
+    (round 4): pack_positional folds rows into one delta+varbyte blob per
+    (shard, term); PhraseServer's blob kernel decodes + intersects — the
+    full hit set must equal the row-path oracle exactly."""
+    from bliss_rs_spark.operators.phrase import (
+        PhraseServer,
+        build_positional_postings,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    server = PhraseServer(spark, positional, CFG, packed=True)
+    try:
+        hits = server.query(PHRASE, 1_000_000)  # k > corpus: ALL matches
+    finally:
+        server.close()
+    return spark.createDataFrame(
+        [(int(d), int(tf)) for d, tf in hits], "doc_id long, phrase_tf int"
+    )
+
+
 def _phrase_occ_cte(phrase: str) -> str:
     """Token-position phrase counting CTE (``occ``): counts every start
     position i with t[i..i+L-1] == phrase terms.  Positional, so back-to-back
@@ -1680,6 +1702,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "greedy_chain": (q_greedy_chain, _oracle_greedy_chain(5)),
         "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),
         "phrase_match": (q_phrase_match, ORACLE_PHRASE_MATCH),
+        "phrase_packed": (q_phrase_packed, ORACLE_PHRASE_MATCH),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),

@@ -171,3 +171,82 @@ def test_phrase_server_over_churned_store(spark, tmp_path):
     build_full(spark, docs, bare, CFG, checkpoint=False)
     with pytest.raises(ValueError, match="without positions"):
         PhraseServer.from_store(spark, bare)
+
+
+def test_positional_blob_roundtrip():
+    """Pure codec check: encode/decode of a (shard, term) positional blob is
+    exact for negative doc_ids, singleton docs and long gappy lists."""
+    import numpy as np
+
+    from bliss_rs_spark.operators.phrase import (
+        decode_positional_blob,
+        encode_positional_blob,
+    )
+
+    rng = np.random.default_rng(5)
+    doc_ids = np.sort(
+        rng.choice(2**62, size=40, replace=False).astype(np.int64)
+        - 2**61
+    )
+    lens = rng.integers(1, 9, size=40).astype(np.int64)
+    flat = np.concatenate(
+        [np.sort(rng.choice(5000, size=n, replace=False)) for n in lens]
+    ).astype(np.int64)
+    blob = encode_positional_blob(doc_ids, lens, flat)
+    d2, l2, f2 = decode_positional_blob(blob)
+    assert (d2 == doc_ids).all() and (l2 == lens).all() and (f2 == flat).all()
+    # empty blob
+    e = encode_positional_blob(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    )
+    d0, l0, f0 = decode_positional_blob(e)
+    assert len(d0) == len(l0) == len(f0) == 0
+
+
+def test_phrase_server_row_mode_identical(spark, positional):
+    """packed=False (row kernel) and packed=True (blob kernel) agree with
+    each other and with the batch path."""
+    from bliss_rs_spark.operators.phrase import PhraseServer
+
+    pos, _ = positional
+    rowsrv = PhraseServer(spark, pos, CFG, packed=False)
+    pksrv = PhraseServer(spark, pos, CFG, packed=True)
+    try:
+        for phrase in ["fast merge", "block max score", "return return",
+                       "buffer", "zzz yyy xxx"]:
+            exp = [
+                (int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in phrase_topk(spark, pos, phrase, 10, CFG).collect()
+            ]
+            assert rowsrv.query(phrase, 10) == exp, phrase
+            assert pksrv.query(phrase, 10) == exp, phrase
+    finally:
+        rowsrv.close()
+        pksrv.close()
+
+
+def test_pack_positional_covers_all_rows(spark, positional):
+    """The pack is lossless: exploding every blob back yields exactly the
+    input (term, doc_id, positions) set."""
+    import numpy as np
+
+    from bliss_rs_spark.operators.phrase import (
+        decode_positional_blob,
+        pack_positional,
+    )
+
+    pos, _ = positional
+    packed = pack_positional(pos, CFG)
+    got = set()
+    for r in packed.collect():
+        di, lens, flat = decode_positional_blob(bytes(r["pblob"]))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        for i, d in enumerate(di):
+            s = int(starts[i])
+            got.add((r["term"], int(d),
+                     tuple(int(x) for x in flat[s:s + int(lens[i])])))
+    exp = {
+        (r["term"], int(r["doc_id"]), tuple(int(x) for x in r["positions"]))
+        for r in pos.collect()
+    }
+    assert got == exp
