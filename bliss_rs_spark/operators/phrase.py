@@ -352,9 +352,10 @@ class PhraseServer:
             )
         return cls(spark, store.load(spark, "positional"), cfg_s, packed=packed)
 
-    def query(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
-        """-> [(doc_id, phrase_tf)] exact top-k, rank-identical to
-        phrase_topk.
+    def _plan_for(self, phrase: str, k: int) -> DataFrame | None:
+        """The per-query physical plan: filter over the persisted pack +
+        one mapInPandas — NO exchange (pinned by tests/test_plans.py).
+        None when the phrase tokenizes to nothing.
 
         The kernel is fully vectorized: each (doc, position) pair becomes one
         int64 key ``doc_idx * M + (pos - slot + n)``, so the whole phrase
@@ -363,12 +364,9 @@ class PhraseServer:
         touches ~1M (term, doc) rows on a 2M-doc corpus; row-at-a-time
         Python made that seconds, vectorized it is tens of ms).
         """
-        import numpy as np
-        import pandas as pd
-
         terms = tokenize_text(phrase)
         if not terms:
-            return []
+            return None
         # term -> every slot at which it occurs in the phrase (duplicate
         # phrase terms intersect the SAME posting list at several offsets)
         offsets: dict[str, list[int]] = {}
@@ -425,16 +423,120 @@ class PhraseServer:
                 {"doc_id": ids, "phrase_tf": tfs.astype("int32")}
             )
 
-        partials = (
-            self.pos.filter(F.col("term").isin(sorted(offsets)))
-            .mapInPandas(kernel, "doc_id long, phrase_tf int")
-            .collect()
+        return self.pos.filter(F.col("term").isin(sorted(offsets))).mapInPandas(
+            kernel, "doc_id long, phrase_tf int"
         )
+
+    def query(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """-> [(doc_id, phrase_tf)] exact top-k, rank-identical to
+        phrase_topk (see _plan_for for the kernel design)."""
+        df = self._plan_for(phrase, k)
+        if df is None:
+            return []
         merged = sorted(
-            ((int(r["phrase_tf"]), int(r["doc_id"])) for r in partials),
+            ((int(r["phrase_tf"]), int(r["doc_id"])) for r in df.collect()),
             key=lambda x: (-x[0], x[1]),
         )[:k]
         return [(d, tf) for tf, d in merged]
+
+    def query_batch(
+        self, phrases: list[tuple[int, str, int]]
+    ) -> list[tuple[int, int, int, int]]:
+        """Score a whole phrase SET in ONE shuffle-free job (the phrase
+        sibling of wand_topk_batch): the scan is filtered once by the union
+        of every phrase's terms, each partition builds each term's flat
+        arrays ONCE and runs every phrase's chain over them, and the driver
+        finishes the exact per-phrase merge.
+
+        phrases: [(phrase_id, text, k)] ->
+        [(phrase_id, rank, doc_id, phrase_tf)] sorted by (phrase_id, rank).
+        Per-phrase results are identical to query() (tested)."""
+        specs: dict[int, tuple[dict, int, int]] = {}
+        for pid, text, k in phrases:
+            terms = tokenize_text(text)
+            if not terms:
+                continue
+            offs: dict[str, list[int]] = {}
+            for i, t in enumerate(terms):
+                offs.setdefault(t, []).append(i)
+            specs[int(pid)] = (offs, len(terms), int(k))
+        if not specs:
+            return []
+        union_terms = sorted({t for offs, _, _ in specs.values() for t in offs})
+        is_packed = self.packed
+        empty = pd.DataFrame(
+            {
+                "phrase_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "phrase_tf": pd.Series([], dtype="int32"),
+            }
+        )
+
+        def kernel(batches):
+            chunks = list(batches)
+            if not chunks:
+                yield empty
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            flat: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for t in union_terms:
+                sub = pdf[pdf["term"] == t]
+                if len(sub) == 0:
+                    continue  # absent term: only the phrases using it die
+                if is_packed:
+                    ds, ps = [], []
+                    for blob in sub["pblob"]:
+                        di, lens, fp = decode_positional_blob(bytes(blob))
+                        ds.append(np.repeat(di, lens))
+                        ps.append(fp)
+                    flat[t] = (np.concatenate(ds), np.concatenate(ps))
+                else:
+                    docs_t = sub["doc_id"].to_numpy(np.int64)
+                    plists = sub["positions"].tolist()
+                    lens = np.fromiter(
+                        (len(p) for p in plists),
+                        dtype=np.int64,
+                        count=len(plists),
+                    )
+                    pos_flat = (
+                        np.concatenate(plists).astype(np.int64)
+                        if len(plists)
+                        else np.empty(0, np.int64)
+                    )
+                    flat[t] = (np.repeat(docs_t, lens), pos_flat)
+            out = {"phrase_id": [], "doc_id": [], "phrase_tf": []}
+            for pid, (offs, n_terms, k) in specs.items():
+                if any(t not in flat for t in offs):
+                    continue
+                top = _phrase_topk_from_flat(
+                    {t: flat[t] for t in offs}, offs, n_terms, k
+                )
+                if top is None:
+                    continue
+                ids, tfs = top
+                out["phrase_id"].extend([pid] * len(ids))
+                out["doc_id"].extend(int(d) for d in ids)
+                out["phrase_tf"].extend(int(x) for x in tfs)
+            yield pd.DataFrame(out) if out["phrase_id"] else empty
+
+        partials = (
+            self.pos.filter(F.col("term").isin(union_terms))
+            .mapInPandas(kernel, "phrase_id int, doc_id long, phrase_tf int")
+            .collect()
+        )
+        by_pid: dict[int, list[tuple[int, int]]] = {}
+        for r in partials:
+            by_pid.setdefault(int(r["phrase_id"]), []).append(
+                (int(r["phrase_tf"]), int(r["doc_id"]))
+            )
+        out: list[tuple[int, int, int, int]] = []
+        for pid in sorted(by_pid):
+            k = specs[pid][2]
+            merged = sorted(by_pid[pid], key=lambda x: (-x[0], x[1]))[:k]
+            out.extend(
+                (pid, rank + 1, d, tf) for rank, (tf, d) in enumerate(merged)
+            )
+        return out
 
     def close(self):
         self.pos.unpersist()

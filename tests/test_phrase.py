@@ -250,3 +250,29 @@ def test_pack_positional_covers_all_rows(spark, positional):
         for r in pos.collect()
     }
     assert got == exp
+
+
+def test_phrase_server_query_batch(spark, positional):
+    """query_batch (whole phrase set, one job) == per-phrase query(),
+    including phrases with absent terms and empty phrases."""
+    from bliss_rs_spark.operators.phrase import PhraseServer
+
+    pos, _ = positional
+    phrases = [
+        (0, "fast merge", 5),
+        (1, "block max score", 10),
+        (2, "zzz yyy xxx", 3),
+        (3, "return return", 10),
+        (4, "", 5),
+    ]
+    for packed in (True, False):
+        server = PhraseServer(spark, pos, CFG, packed=packed)
+        try:
+            got = server.query_batch(phrases)
+            exp = []
+            for pid, text, k in phrases:
+                for rank, (d, tf) in enumerate(server.query(text, k)):
+                    exp.append((pid, rank + 1, d, tf))
+            assert got == sorted(exp), f"packed={packed}"
+        finally:
+            server.close()

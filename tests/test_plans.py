@@ -89,3 +89,29 @@ def test_incremental_anti_join_broadcasts(spark, store):
     plan = _explain(delta)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_phrase_server_plan_is_shuffle_free(spark):
+    """PhraseServer's per-query plan must stay ONE stage: in-memory scan of
+    the persisted pack -> filter -> mapInPandas, with NO Exchange — the
+    repartition happens once at init, never per query."""
+    from bliss_rs_spark.operators.phrase import (
+        PhraseServer,
+        build_positional_postings,
+    )
+
+    docs = with_invariants(synth_documents(spark, 120, seed=9))
+    pos = build_positional_postings(docs, CFG)
+    for packed in (True, False):
+        server = PhraseServer(spark, pos, CFG, packed=packed)
+        try:
+            df = server._plan_for("fast merge", 10)
+            plan = _explain(df)
+            # the cached relation's stored BUILD plan (the one-time init
+            # repartition) legitimately contains an Exchange; the per-query
+            # plan above it must not
+            query_side = plan.split("InMemoryRelation")[0]
+            assert "InMemoryTableScan" in query_side, plan[:2000]
+            assert "Exchange" not in query_side, plan[:2000]
+        finally:
+            server.close()
