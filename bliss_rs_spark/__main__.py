@@ -186,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
                     text = line.strip()
                     if not text:
                         continue
+                    if text == ":refresh" and not args.phrase:
+                        # re-point the warm server at the store's CURRENT
+                        # snapshot (after an out-of-band update), reusing
+                        # every unchanged unit's cache
+                        info = server.refresh(store)
+                        print(json.dumps({"refreshed": True, **info}),
+                              flush=True)
+                        continue
                     t0 = time.perf_counter()
                     top = server.query(text, args.k)
                     ms = round(1000 * (time.perf_counter() - t0), 1)

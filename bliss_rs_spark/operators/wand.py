@@ -645,23 +645,28 @@ class WandServer:
     job per query — fine for batch scoring, ~seconds of scheduling for a
     single query.  The server instead:
 
-    - repartitions the packed frame ONCE by (unit, shard) and caches it, so
+    - repartitions each UNIT's packed frame ONCE by shard and caches it, so
       every shard is wholly inside one partition BY CONSTRUCTION — the
       invariant survives executor loss + partition recompute (hash
       partitioning is deterministic), unlike file-layout-based placement,
       which silently breaks if a lost partition is re-planned under default
-      file-split confs;
-    - keeps per-shard doc maps AND per-(unit, shard) dead sets DISTRIBUTED
-      as sentinel rows (term NULL; doc_ids / dead bytes) co-partitioned with
-      their shard's packed rows: ordinal->doc_id resolution and tombstone
-      masking happen map-side inside the kernel (worker-memoized), so query
-      task closures are O(1).  The idf table is collected only when the
-      vocab is small (<= 2M terms, or driver_idf=True); bigger vocabs stay
-      persisted distributed and each query's terms resolve via one tiny
-      filtered collect with an LRU (10^12-file corpora have vocabularies no
-      driver can hold).  Driver memory is O(warm query terms), never
-      O(corpus) and never O(vocab): at 10^9 docs the doc maps alone are
-      ~8 GB — collecting them (round-2 design) cannot serve from one driver;
+      file-split confs.  Per-unit caches (round 4) are what makes
+      ``refresh()`` incremental: after a 1%-delta segment update only the
+      new unit is cached, the base pack's partitions are reused verbatim
+      (content-fingerprinted via hard-link-stable inodes);
+    - keeps per-shard doc maps DISTRIBUTED as sentinel rows (term NULL)
+      co-partitioned with their shard's blocks, and per-(unit, shard) dead
+      sets as a tiny persisted frame broadcast-joined per query (narrow —
+      no shuffle of the big side; rebuilt alone when only churn changed):
+      ordinal->doc_id resolution and tombstone masking happen map-side
+      inside the kernel (worker-memoized), so query task closures are O(1).
+      The idf table is collected only when the vocab is small (<= 2M terms,
+      or driver_idf=True); bigger vocabs stay persisted distributed and
+      each query's terms resolve via one tiny filtered collect with a
+      bounded LRU (10^12-file corpora have vocabularies no driver can
+      hold).  Driver memory is O(warm query terms), never O(corpus) and
+      never O(vocab): at 10^9 docs the doc maps alone are ~8 GB —
+      collecting them (round-2 design) cannot serve from one driver;
     - per query: filter(term isin ... or sentinel) over the cached
       partitions -> mapInPandas runs the SAME _wand_shard kernel per
       complete shard -> collect of (shards x k) rows -> exact driver merge.
@@ -688,15 +693,47 @@ class WandServer:
         self.spark = spark
         self.cfg = cfg or IndexConfig()
         self.avgdl = float(avgdl)
+        if target_partitions is None:
+            target_partitions = spark.sparkContext.defaultParallelism
+        self._target_partitions = max(int(target_partitions), 1)
         if units is None:
             units = [(0, packed, doc_map)]
         self._units = units
+        self._unit_fps: dict[int, tuple] = {}  # filled by from_store/refresh
+        self._setup_idf(term_stats, driver_idf)
 
-        # --- idf resolution: driver dict ONLY when the vocab is small ------
-        # At 10^12 source files the term vocabulary itself is too large to
+        # --- per-UNIT persisted frames (round 4): each unit caches
+        # independently so refresh() can keep untouched units (a 1%-delta
+        # segment update must not re-cache a 10^9-doc base pack).  The base
+        # unit gets full parallelism; small segment units get fewer
+        # partitions so per-query task count stays bounded (maintain()
+        # bounds unit fan-out).
+        self._unit_frames: dict[int, DataFrame] = {}
+        for i, (seq, p, dm) in enumerate(units):
+            self._unit_frames[seq] = self._build_unit_frame(
+                seq, p, dm, self._unit_partitions(i)
+            )
+
+        # --- tombstones: churn-scale, never collected — a tiny persisted
+        # (unit, shard, dead) frame broadcast-joined per query (narrow, no
+        # shuffle), REBUILT alone on refresh when only churn changed
+        self._dead_df: DataFrame | None = None
+        self._set_tombstones(tombstones)
+        self.single_stage = self._placement_ok()
+
+    # -- construction helpers (shared with refresh) --------------------------
+
+    def _unit_partitions(self, index_in_units: int) -> int:
+        if index_in_units == 0:
+            return self._target_partitions
+        return max(1, self._target_partitions // 8)
+
+    def _setup_idf(self, term_stats: DataFrame, driver_idf: bool | None):
+        # idf resolution: driver dict ONLY when the vocab is small.  At
+        # 10^12 source files the term vocabulary itself is too large to
         # collect; the server then keeps term_stats persisted (distributed)
-        # and resolves each query's few terms with one tiny filtered collect,
-        # LRU-cached (negative entries included) so warm terms cost nothing.
+        # and resolves each query's few terms with one tiny filtered
+        # collect, LRU-cached (negative entries included).
         self._ts = term_stats.select("term", "idf").persist()
         n_vocab = self._ts.count()  # also materializes the cache
         if driver_idf is None:
@@ -711,81 +748,68 @@ class WandServer:
 
             self._idf_cache = OrderedDict()
 
-        # --- tombstones: churn-scale, never collected — stays a frame
-        tomb_df = _as_tombstone_df(spark, tombstones)
-        self._tomb_df = tomb_df
-        has_tomb = tomb_df is not None and tomb_df.limit(1).count() > 0
+    def _build_unit_frame(
+        self, seq: int, p: DataFrame, dm: DataFrame | None, n_parts: int
+    ) -> DataFrame:
+        """One unit's cached serving frame: packed rows + doc-map sentinel
+        rows (term NULL), hash-repartitioned by shard so every shard lands
+        wholly in one partition structurally — a recomputed partition
+        (executor loss) replays the same deterministic exchange, so
+        correctness never depends on file layout or session confs."""
+        part = p.withColumn("unit", F.lit(int(seq))).withColumn(
+            "doc_ids", F.lit(None).cast("binary")
+        )
+        if dm is not None:
+            sentinel = dm.select(
+                "shard",
+                F.lit(None).cast(p.schema["term"].dataType).alias("term"),
+                F.lit(None).cast(p.schema["blocks"].dataType).alias("blocks"),
+                F.lit(int(seq)).alias("unit"),
+                F.col("doc_ids"),
+            )
+            part = part.unionByName(sentinel, allowMissingColumns=True)
+        return part.repartition(n_parts, "shard").persist()
 
-        u = None
-        for seq, p, dm in units:
-            part = (
-                p.withColumn("unit", F.lit(int(seq)))
-                .withColumn("doc_ids", F.lit(None).cast("binary"))
-                .withColumn("dead", F.lit(None).cast("binary"))
-            )
-            u = part if u is None else u.unionByName(part)
-            if dm is not None:
-                # sentinel rows: one per shard, carrying the shard's ordinal
-                # doc map INSIDE the partition that owns the shard's blocks
-                sentinel = dm.select(
-                    "shard",
-                    F.lit(None).cast(p.schema["term"].dataType).alias("term"),
-                    F.lit(None).cast(p.schema["blocks"].dataType).alias("blocks"),
-                    F.lit(int(seq)).alias("unit"),
-                    F.col("doc_ids"),
-                    F.lit(None).cast("binary").alias("dead"),
-                )
-                u = u.unionByName(sentinel, allowMissingColumns=True)
+    def _set_tombstones(
+        self, tombstones: dict[int, int] | DataFrame | None
+    ) -> None:
+        tomb_df = _as_tombstone_df(self.spark, tombstones)
+        self._tomb_df = tomb_df
+        old = self._dead_df
+        has_tomb = tomb_df is not None and tomb_df.limit(1).count() > 0
         if has_tomb:
-            # dead-set sentinels: per-(unit, shard) tombstoned ids, computed
-            # DISTRIBUTED (one tiny job over the churn-sized frame) and
-            # co-partitioned with the blocks they mask — query closures stay
-            # O(1); round-2 shipped the whole dead set in every task closure.
-            # Same builder the batch paths (wand_topk_units/_batch) cogroup.
-            dead_rows = _dead_sets_df(tomb_df, units, self.cfg.n_doc_shards)
-            first_p = units[0][1]
-            u = u.unionByName(
-                dead_rows.select(
-                    "shard",
-                    F.lit(None).cast(first_p.schema["term"].dataType).alias("term"),
-                    F.lit(None).cast(first_p.schema["blocks"].dataType).alias("blocks"),
-                    "unit",
-                    F.lit(None).cast("binary").alias("doc_ids"),
-                    F.col("dead"),
-                ),
-                allowMissingColumns=True,
-            )
-        # hash-repartition by (unit, shard): every shard lands wholly in one
-        # partition structurally — a recomputed partition (executor loss)
-        # replays the same deterministic exchange, so correctness never
-        # depends on file layout or session confs.  Default partition count:
-        # the session's core count — heavy (hot-term) queries keep full
-        # parallelism; pass a small value for tiny stores where task launch
-        # dominates.
-        if target_partitions is None:
-            target_partitions = spark.sparkContext.defaultParallelism
-        self.packed = u.repartition(
-            max(int(target_partitions), 1), "unit", "shard"
-        ).persist()
-        # warm-up (materializes the cache) + belt-and-suspenders check of the
-        # one-shard-one-partition invariant
+            dead = _dead_sets_df(
+                tomb_df, self._units, self.cfg.n_doc_shards
+            ).persist()
+            dead.count()
+            self._dead_df = dead
+        else:
+            self._dead_df = None
+        if old is not None:
+            old.unpersist()
+
+    def _placement_ok(self) -> bool:
+        """Warm every cached unit + belt-and-suspenders check of the
+        one-shard-one-partition invariant across all of them."""
+        u = None
+        for seq in sorted(self._unit_frames):
+            pf = self._unit_frames[seq].select("unit", "shard")
+            u = pf if u is None else u.unionByName(pf)
         placement = (
-            self.packed.groupBy(
-                F.spark_partition_id().alias("pid"), "unit", "shard"
-            )
+            u.groupBy(F.spark_partition_id().alias("pid"), "unit", "shard")
             .count()
             .groupBy("unit", "shard")
             .count()
             .filter(F.col("count") > 1)
             .count()
         )
-        self.single_stage = placement == 0
+        return placement == 0
 
     @classmethod
     def from_store(cls, spark: SparkSession, store) -> "WandServer":
         meta = store.meta()
         cfg_s = store.config()
-        return cls(
+        srv = cls(
             spark,
             store.load(spark, "packed"),
             store.load(spark, "term_stats"),
@@ -799,6 +823,66 @@ class WandServer:
             if "segments" in store.meta()
             else None,
         )
+        srv._unit_fps = store.packed_unit_fingerprints()
+        return srv
+
+    def refresh(self, store) -> dict:
+        """Re-point a live server at the store's CURRENT snapshot WITHOUT
+        re-caching unchanged data — the serving-across-updates move a
+        10^9-doc deployment needs: a 1%-delta segment update must cost the
+        delta, not a full corpus re-cache.
+
+        Per unit, the packed bytes are fingerprinted ((relpath, inode,
+        size); hard-linked carry preserves inodes across snapshots): equal
+        fingerprint -> the existing cached partitions are kept verbatim;
+        changed/new units rebuild; vanished units (compaction) unpersist.
+        term_stats, avgdl and the dead-set frame always rebuild — they are
+        churn-sized.  Reused frames keep reading their original snapshot's
+        paths, which stay valid because snapshots are immutable and the
+        store never deletes them behind a reader (same contract Iceberg
+        gives concurrent readers).  Returns
+        {"reused_units": [...], "rebuilt_units": [...]}.
+
+        Reference analogue: the reference mutates its library in place and
+        re-queries the same connection (/root/reference/src/library.rs:
+        1040-1084); an immutable-snapshot engine gets the equivalent by
+        atomically swapping the unit set under a warm server."""
+        spark = self.spark
+        meta = store.meta()
+        new_units = store.packed_units(spark)
+        new_fps = store.packed_unit_fingerprints()
+        reused: list[int] = []
+        rebuilt: list[int] = []
+        new_frames: dict[int, DataFrame] = {}
+        for i, (seq, p, dm) in enumerate(new_units):
+            old_fp = self._unit_fps.get(seq)
+            if (
+                seq in self._unit_frames
+                and old_fp is not None
+                and old_fp == new_fps.get(seq)
+            ):
+                new_frames[seq] = self._unit_frames[seq]
+                reused.append(seq)
+            else:
+                new_frames[seq] = self._build_unit_frame(
+                    seq, p, dm, self._unit_partitions(i)
+                )
+                rebuilt.append(seq)
+        for seq, f in self._unit_frames.items():
+            if new_frames.get(seq) is not f:
+                f.unpersist()
+        self._unit_frames = new_frames
+        self._units = new_units
+        self._unit_fps = new_fps
+        self.avgdl = float(meta["avgdl"])
+        old_ts = self._ts
+        self._setup_idf(store.load(spark, "term_stats"), None)
+        old_ts.unpersist()
+        self._set_tombstones(
+            store.load(spark, "tombstones") if "segments" in meta else None
+        )
+        self.single_stage = self._placement_ok()
+        return {"reused_units": reused, "rebuilt_units": rebuilt}
 
     # lazy-mode warm-term budget: ~256k cached (term, idf) pairs is a few
     # tens of MB of driver memory — a hard bound (round-4 ADVICE fix: the
@@ -859,11 +943,13 @@ class WandServer:
                     pdf["doc_ids"], pdf["dead"],
                 ):
                     us = (int(unit), int(shard))
-                    if term is None:  # sentinel: doc map or dead set
+                    # dead bytes arrive on every row of a churned (unit,
+                    # shard) via the broadcast join — first sighting wins
+                    if dead_b is not None and us not in deads:
+                        deads[us] = bytes(dead_b)
+                    if term is None:  # sentinel row: the shard's doc map
                         if doc_ids is not None:
                             maps[us] = bytes(doc_ids)
-                        else:
-                            deads[us] = bytes(dead_b)
                     else:
                         by_us.setdefault(us, []).append((term, blocks))
             out = {"doc_id": [], "score": []}
@@ -884,21 +970,35 @@ class WandServer:
                     out["score"].append(s)
             yield pd.DataFrame(out)
 
-        partials = (
-            self.packed.filter(
-                F.col("term").isin(list(idfs)) | F.col("term").isNull()
-            )
-            .mapInPandas(kernel, "doc_id long, score double")
-            .collect()
-        )
+        partials = self._serving_plan(list(idfs)).mapInPandas(
+            kernel, "doc_id long, score double"
+        ).collect()
         merged = sorted(
             ((float(r["score"]), int(r["doc_id"])) for r in partials),
             key=lambda x: (-x[0], x[1]),
         )[:k]
         return [(d, s) for s, d in merged]
 
+    def _serving_plan(self, terms: list[str]) -> DataFrame:
+        """Per-query frame: union of the per-unit cached frames filtered to
+        the query's terms (+ doc-map sentinels), with the churn-sized dead
+        frame broadcast-joined on (unit, shard) — all narrow operations
+        over the cached partitions, no shuffle (union concatenates child
+        partitions; a broadcast join never exchanges the big side)."""
+        flt = F.col("term").isin(terms) | F.col("term").isNull()
+        u = None
+        for seq in sorted(self._unit_frames):
+            pf = self._unit_frames[seq].filter(flt)
+            u = pf if u is None else u.unionByName(pf)
+        if self._dead_df is not None:
+            return u.join(F.broadcast(self._dead_df), ["unit", "shard"], "left")
+        return u.withColumn("dead", F.lit(None).cast("binary"))
+
     def close(self):
-        self.packed.unpersist()
+        for f in self._unit_frames.values():
+            f.unpersist()
+        if self._dead_df is not None:
+            self._dead_df.unpersist()
         self._ts.unpersist()
 
 

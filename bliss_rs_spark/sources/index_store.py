@@ -290,6 +290,51 @@ class IndexStore:
                 ))
         return units
 
+    def packed_unit_fingerprints(self) -> dict[int, tuple]:
+        """Content identity per packed unit: sorted (relpath, inode, size)
+        over the unit's PACKED dir (data files only — _SUCCESS markers and
+        .crc sidecars are regenerated per snapshot and carry no content).
+        Hard-linked carry preserves inodes, so a base pack untouched by an
+        update fingerprints identically across snapshots even though its
+        path changed — WandServer.refresh() reuses its cached partitions
+        exactly then, and rebuilds only units whose bytes actually differ.
+
+        The doc_map dir is deliberately NOT fingerprinted: the snapshot
+        rewrite may reorder its rows (new file, same logical content), but
+        a byte-identical pack IMPLIES an identical logical doc map — the
+        ordinals inside the packed blocks index into it, so any real map
+        change necessarily rewrites pack bytes too."""
+
+        def fp(d: str) -> tuple:
+            out = []
+            if os.path.isdir(d):
+                for root, _, files in os.walk(d):
+                    for f in files:
+                        if (
+                            f.startswith(".")
+                            or f.startswith("_")
+                            or f.endswith(".crc")
+                        ):
+                            continue
+                        full = os.path.join(root, f)
+                        st = os.stat(full)
+                        out.append(
+                            (os.path.relpath(full, d), st.st_ino, st.st_size)
+                        )
+            return tuple(sorted(out))
+
+        meta = self.meta()
+        base = fp(os.path.join(self.snapshot_dir(), "packed"))
+        if "segments" not in meta:
+            return {0: base}
+        base_seq = int(meta.get("packed_base_seq", 0))
+        out = {base_seq: base}
+        for seg in meta.get("segments", []):
+            p = os.path.join(self.segments_dir, seg, "packed")
+            if self.seg_seq(seg) > base_seq and os.path.isdir(p):
+                out[self.seg_seq(seg)] = fp(p)
+        return out
+
     def tombstone_frame(self, spark: SparkSession) -> DataFrame | None:
         """The (doc_id, before_seq) tombstones frame, NEVER collected — this
         is what query paths hand to the WAND kernels, which turn it into

@@ -359,3 +359,99 @@ def test_batch_queries_over_segment_store(spark, tmp_path):
             query_index(spark, store, text, k, use_wand=True).collect())]
         got = sorted(by_q.get(qid, []))
         assert got == exp, (qid, text)
+
+
+def test_wand_server_refresh_incremental(spark, tmp_path):
+    """refresh() re-points a warm server at a new snapshot reusing every
+    unchanged unit's cache: after a segment-mode delta update the base pack
+    (hard-linked carry, stable inodes) is REUSED, only the new segment unit
+    is cached, and results match a from-scratch server exactly."""
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 160, seed=13))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    base_seq = store.meta().get("packed_base_seq", 1)
+
+    server = WandServer.from_store(spark, store)
+    before = server.query("varbyte merge return", 10)
+    assert before
+
+    # delta: ~6% changed content + ~5% deletions, segment repack (no base
+    # rewrite), maintenance off so the base carry is guaranteed
+    docs_b = with_invariants(
+        docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(F.col("content"), F.lit("\nzz_refresh zz_refresh")))
+            .otherwise(F.col("content")),
+        ).drop("content_sha256")
+    ).filter(F.col("doc_id") % 19 != 0)
+    update_index(spark, docs_b, store, None, delete_missing=True,
+                 repack="segment", auto_maintain=False)
+
+    info = server.refresh(store)
+    assert int(base_seq) in info["reused_units"], info
+    assert info["rebuilt_units"], info  # the new segment unit was cached
+
+    fresh = WandServer.from_store(spark, store)
+    try:
+        for q in ["varbyte merge return", "zz_refresh", "return",
+                  "no_such_term_zz"]:
+            assert server.query(q, 10) == fresh.query(q, 10), q
+        # deleted docs are gone through the refreshed dead frame
+        gone = {int(r["doc_id"])
+                for r in docs.filter(F.col("doc_id") % 19 == 0)
+                .select("doc_id").collect()}
+        assert not gone & {d for d, _ in server.query("return", 50)}
+    finally:
+        fresh.close()
+        server.close()
+
+
+def test_wand_server_refresh_after_compaction_rebuilds(spark, tmp_path):
+    """A compaction rewrites the base pack (new inodes): refresh must NOT
+    reuse the stale cache — fingerprint mismatch forces a rebuild and
+    results still match a fresh server."""
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        compact_packs,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 120, seed=21))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    update_index(
+        spark,
+        with_invariants(docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.col("content"), F.lit("\nzz_cpt zz_cpt")))
+            .otherwise(F.col("content")),
+        ).drop("content_sha256")),
+        store, None, repack="segment", auto_maintain=False,
+    )
+    server = WandServer.from_store(spark, store)
+    assert len(server._units) == 2
+    compact_packs(spark, store)
+    info = server.refresh(store)
+    assert info["reused_units"] == []  # folded base = new bytes everywhere
+    assert len(server._units) == 1
+    fresh = WandServer.from_store(spark, store)
+    try:
+        for q in ["varbyte merge return", "zz_cpt"]:
+            assert server.query(q, 10) == fresh.query(q, 10), q
+    finally:
+        fresh.close()
+        server.close()
