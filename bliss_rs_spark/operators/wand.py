@@ -700,6 +700,7 @@ class WandServer:
             units = [(0, packed, doc_map)]
         self._units = units
         self._unit_fps: dict[int, tuple] = {}  # filled by from_store/refresh
+        self._driver_idf_pref = driver_idf  # caller's choice, kept by refresh
         self._setup_idf(term_stats, driver_idf)
 
         # --- per-UNIT persisted frames (round 4): each unit caches
@@ -876,7 +877,7 @@ class WandServer:
         self._unit_fps = new_fps
         self.avgdl = float(meta["avgdl"])
         old_ts = self._ts
-        self._setup_idf(store.load(spark, "term_stats"), None)
+        self._setup_idf(store.load(spark, "term_stats"), self._driver_idf_pref)
         old_ts.unpersist()
         self._set_tombstones(
             store.load(spark, "tombstones") if "segments" in meta else None
