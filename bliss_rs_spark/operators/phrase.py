@@ -337,20 +337,58 @@ class PhraseServer:
 
     @classmethod
     def from_store(
-        cls, spark: SparkSession, store, packed: bool = True
+        cls,
+        spark: SparkSession,
+        store,
+        packed: bool = True,
+        cache_pack: bool = True,
     ) -> "PhraseServer":
         """Serve the CURRENT snapshot.  store.load('positional') is already
         the tombstone-filtered union across segments, so deleted/re-indexed
         docs never reach the kernel (the pack, when enabled, encodes only
         live rows — a snapshot-consistent acceleration structure, same
-        semantics as WandServer's cached pack)."""
+        semantics as WandServer's cached pack).
+
+        ``cache_pack`` persists the packed blobs under
+        ``<store>/derived/<snapshot>/pos_packed`` the first time a snapshot
+        is served, so every later server start is O(read the pack) instead
+        of O(re-pack the corpus) — at 10^12 files the re-pack is a full
+        positional scan per process start.  The cache is keyed by snapshot
+        name (snapshots are immutable), written to a temp dir and renamed
+        into place, so concurrent first-servers race benignly."""
         cfg_s = store.config()
         if not cfg_s.store_positions:
             raise ValueError(
                 "index was built without positions; rebuild with "
                 "IndexConfig(store_positions=True) to serve phrase queries"
             )
-        return cls(spark, store.load(spark, "positional"), cfg_s, packed=packed)
+        if not packed:
+            return cls(
+                spark, store.load(spark, "positional"), cfg_s, packed=False
+            )
+        if not cache_pack:
+            return cls(
+                spark, store.load(spark, "positional"), cfg_s, packed=True
+            )
+        import os
+        import shutil
+        import uuid
+
+        cache = os.path.join(
+            store.path, "derived", store.current_snapshot(), "pos_packed"
+        )
+        if not os.path.isdir(cache):
+            tmp = cache + ".tmp-" + uuid.uuid4().hex[:8]
+            pack_positional(
+                store.load(spark, "positional"), cfg_s
+            ).write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            try:
+                os.rename(tmp, cache)
+            except OSError:
+                # another server won the race; its pack is equivalent
+                shutil.rmtree(tmp, ignore_errors=True)
+        return cls(spark, spark.read.parquet(cache), cfg_s, packed=True)
 
     def _plan_for(self, phrase: str, k: int) -> DataFrame | None:
         """The per-query physical plan: filter over the persisted pack +

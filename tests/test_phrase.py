@@ -276,3 +276,45 @@ def test_phrase_server_query_batch(spark, positional):
             assert got == sorted(exp), f"packed={packed}"
         finally:
             server.close()
+
+
+def test_from_store_pack_cache_reused(spark, tmp_path):
+    """First from_store packs and persists under derived/<snapshot>/;
+    later inits read the cache; a new snapshot gets its own cache and the
+    served results track the update."""
+    import os
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, phrase_query, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 100, seed=31))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+
+    s1 = PhraseServer.from_store(spark, store)
+    cache1 = os.path.join(store.path, "derived", store.current_snapshot(), "pos_packed")
+    assert os.path.isdir(cache1)
+    r1 = s1.query("fast merge", 10)
+    s1.close()
+
+    # second init must serve from the persisted pack, identically
+    s2 = PhraseServer.from_store(spark, store)
+    assert s2.query("fast merge", 10) == r1
+    s2.close()
+
+    # new snapshot -> new cache key; results reflect the delta
+    update_index(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), store, None,
+        delete_missing=True, repack="segment",
+    )
+    s3 = PhraseServer.from_store(spark, store)
+    cache2 = os.path.join(store.path, "derived", store.current_snapshot(), "pos_packed")
+    assert cache2 != cache1 and os.path.isdir(cache2)
+    got = s3.query("fast merge", 25)
+    exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
+           for r in phrase_query(spark, store, "fast merge", 25).collect()]
+    assert got == exp
+    s3.close()
