@@ -140,6 +140,67 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_store_churn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full store lifecycle vs the oracle (round 4): build a segment store,
+    DELETE every 7th doc via a segment-mode update (tombstones, no block
+    rewrite), then answer the flagship query through wand_topk_units — the
+    distributed dead-set path.  The oracle recomputes BM25 over the LIVE
+    subset with the engine's exact update semantics: df and n over live
+    docs, avgdl EPOCH-PINNED at build time (norm stability across
+    incremental updates, plans/lifecycle.py)."""
+    import tempfile
+
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        query_index,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    docs = _docs_adapted(spark, sf_dir)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_churn_") + "/idx")
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    update_index(
+        spark,
+        docs.filter(F.col("doc_id") % 7 != 0),
+        store,
+        None,
+        delete_missing=True,
+        repack="segment",
+    )
+    out = query_index(spark, store, BM25_QUERY, BM25_K)
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_STORE_CHURN = f"""
+WITH {_TOKS_CTE},
+live AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+ltoks AS (SELECT t.doc_id, t.term FROM toks t JOIN live USING (doc_id)),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM ltoks GROUP BY 1, 2),
+dl AS (SELECT l.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM live l LEFT JOIN (SELECT doc_id, count(*) AS dl FROM ltoks GROUP BY 1) x
+       ON l.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM live)::double AS n,
+                 -- avgdl is EPOCH-PINNED: the build-time value over ALL docs
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_BM25_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full term->df table (A4/A7: the df aggregation of the index build)."""
     idx = _index(spark, sf_dir)
@@ -1666,6 +1727,7 @@ FROM documents ORDER BY {s} DESC, doc_id ASC LIMIT 15
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "bm25_topk": (q_bm25_topk, ORACLE_BM25),
+        "store_churn_topk": (q_store_churn_topk, ORACLE_STORE_CHURN),
         "term_df": (q_term_df, ORACLE_TERM_DF),
         "doc_lengths": (q_doc_lengths, ORACLE_DOC_LENGTHS),
         "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
