@@ -186,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
                     text = line.strip()
                     if not text:
                         continue
-                    if text == ":refresh" and not args.phrase:
+                    if text == ":refresh":
                         # re-point the warm server at the store's CURRENT
                         # snapshot (after an out-of-band update), reusing
                         # every unchanged unit's cache

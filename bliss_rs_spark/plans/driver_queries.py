@@ -201,6 +201,158 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+_CLONE_OFF = 10_000_000
+
+
+def q_store_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction certified end-to-end by the oracle (round-5 verdict #5):
+    build a segment store, ADD planted clone docs via a segment update,
+    DELETE every 11th doc via a delete-only update (tombstones), then let
+    maintain()'s unit-fanout rung fold everything through compact_packs —
+    and answer the flagship query through the compacted single-unit base.
+    The gate RAISES if compaction does not actually run, so a pass proves
+    compact_packs preserved the exact BM25 semantics: df and n over live
+    docs, avgdl EPOCH-PINNED at the original build."""
+    import tempfile
+
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        maintain,
+        query_index,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    docs = _docs_adapted(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_CLONE_OFF)
+    )
+    all2 = docs.unionByName(clones)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_compact_") + "/idx")
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    update_index(
+        spark, all2, store, None,
+        delete_missing=False, repack="segment", auto_maintain=False,
+    )
+    update_index(
+        spark,
+        all2.filter(F.col("doc_id") % 11 != 0),
+        store, None,
+        delete_missing=True, repack="segment", auto_maintain=False,
+    )
+    actions = maintain(
+        spark, store, max_units=1, max_tombstone_ratio=0, max_tombstones=0
+    )
+    if actions != ["compact_packs"]:
+        raise RuntimeError(f"compact_packs did not trigger: {actions}")
+    if len(store.packed_units(spark)) != 1:
+        raise RuntimeError("store not folded to a single packed unit")
+    out = query_index(spark, store, BM25_QUERY, BM25_K)
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_STORE_COMPACT = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_OFF} AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 3
+),
+toks AS (SELECT doc_id, unnest({_TOKS_DD}) AS term FROM docs2),
+live AS (SELECT doc_id FROM docs2 WHERE doc_id % 11 <> 0),
+ltoks AS (SELECT t.doc_id, t.term FROM toks t JOIN live USING (doc_id)),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM ltoks GROUP BY 1, 2),
+dl AS (SELECT l.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM live l LEFT JOIN (SELECT doc_id, count(*) AS dl FROM ltoks GROUP BY 1) x
+       ON l.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM live)::double AS n,
+                 -- avgdl is EPOCH-PINNED at the ORIGINAL build (base docs only)
+                 (SELECT count(*) FROM toks WHERE doc_id < {_CLONE_OFF})::double
+                   / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_BM25_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_store_rebuild_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER compaction rung through the oracle: heavy churn (delete
+    every 6th doc, ~17% tombstones) trips maintain()'s tombstone rung,
+    which rebuilds the store FROM THE TOKENIZE CHECKPOINT via compact_full
+    — folding segments, clearing tombstones and RE-PINNING avgdl to the
+    live corpus.  The oracle therefore computes df, n AND avgdl over the
+    live subset (contrast ORACLE_STORE_CHURN / ORACLE_STORE_COMPACT, where
+    avgdl stays epoch-pinned).  Raises if the rebuild does not run."""
+    import tempfile
+
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        maintain,
+        query_index,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    docs = _docs_adapted(spark, sf_dir)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_rebuild_") + "/idx")
+    build_full(spark, docs, store, CFG, checkpoint=True)
+    update_index(
+        spark,
+        docs.filter(F.col("doc_id") % 6 != 0),
+        store, None,
+        delete_missing=True, repack="segment", auto_maintain=False,
+    )
+    actions = maintain(
+        spark, store, max_units=0, max_tombstone_ratio=0.1, max_tombstones=0
+    )
+    if actions != ["compact_full"]:
+        raise RuntimeError(f"compact_full did not trigger: {actions}")
+    if store.load(spark, "tombstones").count() != 0:
+        raise RuntimeError("full compaction left tombstones behind")
+    out = query_index(spark, store, BM25_QUERY, BM25_K)
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_STORE_REBUILD = f"""
+WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 <> 0),
+toks AS (SELECT doc_id, unnest({_TOKS_DD}) AS term FROM live),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT l.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM live l LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON l.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM live)::double AS n,
+                 -- avgdl RE-PINNED by the rebuild: live tokens / live docs
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM live) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_BM25_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full term->df table (A4/A7: the df aggregation of the index build)."""
     idx = _index(spark, sf_dir)
@@ -1390,6 +1542,45 @@ def q_phrase_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase serving ACROSS UPDATES through the oracle (round 5): build a
+    positional segment store, start a PhraseServer (per-unit packed path),
+    DELETE every 7th doc via a delete-only update (tombstones only), then
+    refresh() the WARM server — so the per-(unit, shard) dead sets, the
+    broadcast dead join and the kernel's dead masking are all on the scored
+    path — and return the full live hit set."""
+    import tempfile
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    docs = _docs_adapted(spark, sf_dir)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_phchurn_") + "/idx")
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    server = PhraseServer.from_store(spark, store)
+    try:
+        update_index(
+            spark,
+            docs.filter(F.col("doc_id") % 7 != 0),
+            store, None,
+            delete_missing=True, repack="segment", auto_maintain=False,
+        )
+        info = server.refresh(store)
+        if not info["reused_units"]:
+            raise RuntimeError(f"refresh rebuilt everything: {info}")
+        if server._dead_df is None:
+            raise RuntimeError("tombstones not in play — vacuous gate")
+        hits = server.query(PHRASE, 1_000_000)  # k > corpus: ALL matches
+    finally:
+        server.close()
+    return spark.createDataFrame(
+        [(int(d), int(tf)) for d, tf in hits], "doc_id long, phrase_tf int"
+    )
+
+
 def _phrase_occ_cte(phrase: str) -> str:
     """Token-position phrase counting CTE (``occ``): counts every start
     position i with t[i..i+L-1] == phrase terms.  Positional, so back-to-back
@@ -1411,6 +1602,11 @@ occ AS (
 ORACLE_PHRASE_MATCH = f"""
 WITH {_phrase_occ_cte(PHRASE)}
 SELECT doc_id, phrase_tf::int AS phrase_tf FROM occ
+"""
+
+ORACLE_PHRASE_CHURN = f"""
+WITH {_phrase_occ_cte(PHRASE)}
+SELECT doc_id, phrase_tf::int AS phrase_tf FROM occ WHERE doc_id % 7 <> 0
 """
 
 
@@ -1728,6 +1924,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     return {
         "bm25_topk": (q_bm25_topk, ORACLE_BM25),
         "store_churn_topk": (q_store_churn_topk, ORACLE_STORE_CHURN),
+        "store_compact_topk": (q_store_compact_topk, ORACLE_STORE_COMPACT),
+        "store_rebuild_topk": (q_store_rebuild_topk, ORACLE_STORE_REBUILD),
         "term_df": (q_term_df, ORACLE_TERM_DF),
         "doc_lengths": (q_doc_lengths, ORACLE_DOC_LENGTHS),
         "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
@@ -1765,6 +1963,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "event_value_share": (q_event_value_share, ORACLE_EVENT_VALUE_SHARE),
         "phrase_match": (q_phrase_match, ORACLE_PHRASE_MATCH),
         "phrase_packed": (q_phrase_packed, ORACLE_PHRASE_MATCH),
+        "phrase_churn": (q_phrase_churn, ORACLE_PHRASE_CHURN),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),

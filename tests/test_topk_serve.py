@@ -455,3 +455,128 @@ def test_wand_server_refresh_after_compaction_rebuilds(spark, tmp_path):
     finally:
         fresh.close()
         server.close()
+
+
+def test_wand_server_refresh_noop_and_cost_shape(spark, tmp_path):
+    """Round-5 refresh cost model: an unchanged snapshot short-circuits
+    (all units reused, idf table object untouched, no audit), and after a
+    real delta only the rebuilt unit is audited (reused verdicts are
+    memoized)."""
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 120, seed=5))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    server = WandServer.from_store(spark, store)
+    try:
+        ts_obj = server._ts
+        ok_before = dict(server._unit_ok)
+        info = server.refresh(store)
+        assert info["rebuilt_units"] == []
+        assert sorted(info["reused_units"]) == sorted(server._unit_frames)
+        assert server._ts is ts_obj  # idf table untouched: no re-persist
+        assert server._unit_ok == ok_before
+
+        # real delta: decision stays pinned (no vocab re-count path), the
+        # reused base keeps its memoized audit verdict
+        docs_b = with_invariants(
+            docs.withColumn(
+                "content",
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.col("content"), F.lit("\nzz_n5 zz_n5")))
+                .otherwise(F.col("content")),
+            ).drop("content_sha256")
+        )
+        update_index(spark, docs_b, store, None, repack="segment",
+                     auto_maintain=False)
+        decision = server._driver_idf
+        info2 = server.refresh(store)
+        assert info2["reused_units"] and info2["rebuilt_units"]
+        assert server._driver_idf == decision
+        assert server._ts is not ts_obj  # term_stats changed -> rebuilt
+        assert server.single_stage
+        got = server.query("zz_n5", 10)
+        fresh = WandServer.from_store(spark, store)
+        try:
+            assert got == fresh.query("zz_n5", 10)
+        finally:
+            fresh.close()
+    finally:
+        server.close()
+
+
+def test_gc_respects_live_server_pins(spark, tmp_path):
+    """gc() must not expire a snapshot a warm server's reused frames still
+    read (round-5 ADVICE medium): the pinned base snapshot survives
+    gc(keep_last=1), a forced cache eviction recomputes from the still-live
+    paths, and close() releases the pin so a later gc() collects it."""
+    import os
+
+    from bliss_rs_spark.operators.wand import WandServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(block_size=16, n_doc_shards=4, n_term_buckets=8)
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 120, seed=9))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    snap0 = store.current_snapshot()
+    server = WandServer.from_store(spark, store)
+    try:
+        # two delta updates so snap0 leaves the keep_last=1 window
+        for mod in (17, 23):
+            delta = with_invariants(
+                docs.withColumn(
+                    "content",
+                    F.when(F.col("doc_id") % mod == 0,
+                           F.concat(F.col("content"), F.lit("\nzz_pin")))
+                    .otherwise(F.col("content")),
+                ).drop("content_sha256")
+            )
+            update_index(spark, delta, store, None, repack="segment",
+                         auto_maintain=False)
+            server.refresh(store)
+        base_seq = min(server._unit_frames)
+        assert server._unit_snaps[base_seq] == snap0  # base still reads snap0
+
+        removed = store.gc(keep_last=1)
+        assert snap0 not in {r for r in removed}
+        assert os.path.isdir(os.path.join(store.path, snap0))
+
+        # forced eviction: recompute must re-read snap0's (live) files
+        before = server.query("varbyte merge return", 10)
+        server._unit_frames[base_seq].unpersist(True)
+        server._unit_frames[base_seq].persist().count()
+        assert server.query("varbyte merge return", 10) == before
+    finally:
+        server.close()
+
+    # pin released -> collectable
+    assert store.pinned_snapshots() == set()
+    removed2 = store.gc(keep_last=1)
+    assert snap0 in removed2
+    assert not os.path.isdir(os.path.join(store.path, snap0))
+
+
+def test_stale_pin_is_collected(tmp_path):
+    """A pin whose owner process died no longer blocks gc (crashed servers
+    must not leak retention forever)."""
+    import json
+    import os
+
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    store = IndexStore(str(tmp_path / "idx"))
+    live = store.pin_snapshot("v00001")
+    # forge a dead-owner pin (pid far beyond pid_max allocation here)
+    os.makedirs(store.pins_dir, exist_ok=True)
+    dead = os.path.join(store.pins_dir, "deadpin.json")
+    with open(dead, "w") as f:
+        json.dump({"snapshot": "v00002", "pid": 2 ** 22 - 3}, f)
+    assert store.pinned_snapshots() == {"v00001"}
+    assert not os.path.exists(dead)
+    store.release_pin(live)
+    assert store.pinned_snapshots() == set()
