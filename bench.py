@@ -136,6 +136,27 @@ def main() -> None:
         extras["serve_single_stage"] = server.single_stage
         server.close()
 
+        # --- phrase serving: pack init + warm single-phrase p50 ------------
+        from bliss_rs_spark.operators.phrase import (
+            PhraseServer,
+            build_positional_postings,
+        )
+
+        pos = build_positional_postings(docs, cfg)
+        pserver = timed("phrase_pack_init", lambda: PhraseServer(spark, pos, cfg))
+        pserver.query("fast merge", 10)  # warm-up, untimed
+        plat = []
+        for ph in [
+            "fast merge", "block max score", "return value",
+            "stream filter table", "return",
+        ]:
+            t0 = time.perf_counter()
+            pserver.query(ph, 10)
+            plat.append(time.perf_counter() - t0)
+        plat.sort()
+        reps.setdefault("phrase_serve_p50", []).append(plat[len(plat) // 2])
+        pserver.close()
+
         _lifecycle_stages(spark, docs, cfg, timed, extras)
 
         for df in (idx["postings"], idx["term_stats"], packed):

@@ -523,6 +523,7 @@ class PhraseServer:
             target_partitions = spark.sparkContext.defaultParallelism
         self._target_partitions = max(int(target_partitions), 1)
         self._unit_fps: dict[int, tuple] = {}  # filled by from_store/refresh
+        self._pin: str | None = None  # gc() pin file (from_store servers)
         self._store_mode = units is not None
         self._dead_df: DataFrame | None = None
         self._unit_frames: dict[int, DataFrame] = {}
@@ -668,10 +669,16 @@ class PhraseServer:
             )
         if not packed or not cache_pack:
             # store.load('positional') is already the tombstone-filtered
-            # union across segments — no dead sets needed
-            return cls(
+            # union across segments — no dead sets needed (the persisted
+            # frame still recomputes from segment paths on executor loss,
+            # so it pins its snapshot like the unit path does)
+            srv = cls(
                 spark, store.load(spark, "positional"), cfg_s, packed=packed
             )
+            srv._pin = store.pin_snapshot(
+                store.current_snapshot(), note="PhraseServer"
+            )
+            return srv
         units, fps = cls._store_units(spark, store, cfg_s)
         srv = cls(
             spark,
@@ -682,6 +689,13 @@ class PhraseServer:
             tombstones=store.tombstone_frame(spark),
         )
         srv._unit_fps = fps
+        # pin the snapshot whose segments (and their derived pos_units
+        # caches) this server reads, so gc() after a later compaction can
+        # never prune them from under a live reader (same live-reader
+        # contract as WandServer._sync_pins)
+        srv._pin = store.pin_snapshot(
+            store.current_snapshot(), note="PhraseServer"
+        )
         return srv
 
     def refresh(self, store) -> dict:
@@ -726,6 +740,15 @@ class PhraseServer:
         self._unit_frames = new_frames
         self._unit_fps = fps
         self._set_tombstones(store.tombstone_frame(self.spark))
+        # re-point the gc() pin: every kept unit's segment is referenced by
+        # the NEW snapshot (units come from its manifest), so the old pin
+        # can be released once the new one is placed
+        old_pin = self._pin
+        self._pin = store.pin_snapshot(
+            store.current_snapshot(), note="PhraseServer"
+        )
+        if old_pin is not None:
+            store.release_pin(old_pin)
         return {"reused_units": reused, "rebuilt_units": rebuilt}
 
     # -- query ----------------------------------------------------------------
@@ -881,6 +904,14 @@ class PhraseServer:
         return out
 
     def close(self):
+        if self._pin is not None:  # release the gc() pin
+            import os
+
+            try:
+                os.remove(self._pin)
+            except OSError:
+                pass
+            self._pin = None
         if not self.packed:
             self.pos.unpersist()
             return

@@ -299,7 +299,8 @@ def test_from_store_pack_cache_reused(spark, tmp_path):
     pu = os.path.join(store.path, "derived", "pos_units")
     cache1 = os.path.join(pu, store.meta()["segments"][0])
     assert os.path.isdir(cache1)
-    r1 = s1.query("fast merge", 10)
+    r1 = s1.query("posting block codec", 10)
+    assert r1  # non-vacuous
     s1.close()
 
     def tree_state(d):
@@ -316,7 +317,7 @@ def test_from_store_pack_cache_reused(spark, tmp_path):
     # second init must serve from the persisted pack, identically,
     # without rewriting it
     s2 = PhraseServer.from_store(spark, store)
-    assert s2.query("fast merge", 10) == r1
+    assert s2.query("posting block codec", 10) == r1
     s2.close()
     assert tree_state(cache1) == state1
 
@@ -327,7 +328,7 @@ def test_from_store_pack_cache_reused(spark, tmp_path):
         docs.withColumn(
             "content",
             F.when(F.col("doc_id") % 10 == 1,
-                   F.concat(F.lit("fast merge intro\n"), F.col("content")))
+                   F.concat(F.lit("posting block codec intro\n"), F.col("content")))
             .otherwise(F.col("content")),
         ).drop("content_sha256")
     ).filter(F.col("doc_id") % 5 != 0)
@@ -337,9 +338,10 @@ def test_from_store_pack_cache_reused(spark, tmp_path):
     assert len(segs) == 2
     assert os.path.isdir(os.path.join(pu, segs[1]))
     assert tree_state(cache1) == state1  # inode/mtime pin: no re-pack
-    got = s3.query("fast merge", 25)
+    assert s3.query("posting block codec", 10)  # still non-vacuous
+    got = s3.query("posting block codec", 25)
     exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
-           for r in phrase_query(spark, store, "fast merge", 25).collect()]
+           for r in phrase_query(spark, store, "posting block codec", 25).collect()]
     assert got == exp
     s3.close()
 
@@ -361,15 +363,17 @@ def test_phrase_server_refresh_reuses_unit_caches(spark, tmp_path):
     build_full(spark, docs, store, cfg, checkpoint=False)
     server = PhraseServer.from_store(spark, store)
     base_frame = server._unit_frames[min(server._unit_frames)]
-    r0 = server.query("fast merge", 15)
-    assert r0  # non-vacuous
+    r0 = server.query("posting block codec", 15)
+    assert r0  # non-vacuous: the phrase occurs in the synth corpus
 
-    # delta: change some docs, delete others
+    # delta: change some docs (planting adjacent phrase repeats), delete
+    # others
     docs_b = with_invariants(
         docs.withColumn(
             "content",
             F.when(F.col("doc_id") % 6 == 0,
-                   F.concat(F.lit("fast merge fast merge\n"), F.col("content")))
+                   F.concat(F.lit("doc shard router doc shard router\n"),
+                            F.col("content")))
             .otherwise(F.col("content")),
         ).drop("content_sha256")
     ).filter(F.col("doc_id") % 11 != 3)
@@ -381,17 +385,21 @@ def test_phrase_server_refresh_reuses_unit_caches(spark, tmp_path):
     # the base unit's cached DataFrame object is reused verbatim
     assert server._unit_frames[min(server._unit_frames)] is base_frame
 
-    for phrase in ["fast merge", "block max score", "fast merge fast"]:
+    nonvac = 0
+    for phrase in ["posting block codec", "doc shard router",
+                   "doc shard router doc"]:
         got = server.query(phrase, 20)
         exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
                for r in phrase_query(spark, store, phrase, 20).collect()]
         assert got == exp, phrase
+        nonvac += bool(got)
+    assert nonvac == 3  # every compared phrase actually matched
 
     # refresh with NO intervening update: everything reuses, same answers
-    r_before = server.query("fast merge", 20)
+    r_before = server.query("posting block codec", 20)
     info2 = server.refresh(store)
     assert not info2["rebuilt_units"]
-    assert server.query("fast merge", 20) == r_before
+    assert server.query("posting block codec", 20) == r_before
     server.close()
 
     # refresh on an ad-hoc (non-store) server is refused loudly
@@ -437,12 +445,16 @@ def test_phrase_server_packed_store_with_tombstones(spark, tmp_path):
     assert server._dead_df is not None  # tombstones actually in play
     try:
         batch = []
-        for phrase in ["fast merge", "block max score", "return return", "buffer"]:
+        nonvac = 0
+        for phrase in ["posting block codec", "block max score",
+                       "term stats cache", "index"]:
             got = server.query(phrase, 30)
             exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
                    for r in phrase_query(spark, store, phrase, 30).collect()]
             assert got == exp, phrase
+            nonvac += bool(got)
             batch.append(phrase)
+        assert nonvac >= 3  # the comparison is not vacuous
         # query_batch rides the same dead-set machinery
         got_b = server.query_batch([(i, p, 30) for i, p in enumerate(batch)])
         exp_b = []
@@ -474,8 +486,18 @@ def test_gc_prunes_pos_unit_caches(spark, tmp_path):
     pu = os.path.join(store.path, "derived", "pos_units")
     assert os.path.isdir(os.path.join(pu, seg1))
 
+    # a LIVE server pins its snapshot: gc keeps the old segment + cache
+    live = PhraseServer.from_store(spark, store)
+    assert store.pinned_snapshots()  # pin placed
+
     # full rebuild (new segment set) -> old segment unreferenced
     build_full(spark, docs, store, cfg, checkpoint=True)
+    removed_live = store.gc(keep_last=1)
+    assert f"derived/pos_units/{seg1}" not in removed_live
+    assert os.path.isdir(os.path.join(pu, seg1))
+    live.close()
+    assert store.pinned_snapshots() == set()  # released on close
+
     PhraseServer.from_store(spark, store).close()
     seg2 = store.meta()["segments"][0]
     assert seg2 != seg1
@@ -583,3 +605,54 @@ def test_rarest_first_kernel_equivalence():
                     else list(zip(got[0].tolist(), got[1].tolist()))
                 )
                 assert got_l == exp, (trial, phrase_terms, blob_split)
+
+
+def test_decode_gating_skips_hot_blobs(monkeypatch):
+    """The rarest-first kernel must NOT decode hot-term blobs whose doc
+    range cannot contain a surviving candidate — the property that makes a
+    hot+rare phrase cost O(rare matches), not O(hot df).  Counted via an
+    instrumented decoder; results must equal the ungated brute force."""
+    import numpy as np
+
+    import bliss_rs_spark.operators.phrase as ph
+
+    # hot term: 40 blobs of 50 docs each (ids 0..1999); rare term: one blob
+    # whose 3 docs all live inside ONE hot blob's range
+    def blob_for(ds, pos_lists):
+        lens = np.array([len(p) for p in pos_lists], dtype=np.int64)
+        flat = np.concatenate(pos_lists).astype(np.int64)
+        return (
+            ph.encode_positional_blob(np.asarray(ds, dtype=np.int64), lens, flat),
+            int(ds[0]), int(ds[-1]), None,
+        )
+
+    hot_blobs, hot_mass = [], 0
+    for b in range(40):
+        ds = list(range(b * 50, b * 50 + 50))
+        pls = [[0, 5] for _ in ds]
+        hot_blobs.append(blob_for(ds, pls))
+        hot_mass += 2 * len(ds)
+    rare_docs = [305, 317, 329]
+    rare = blob_for(rare_docs, [[1], [6], [9]])
+
+    counted = {"n": 0}
+    real = ph.decode_positional_blob
+
+    def counting(blob):
+        counted["n"] += 1
+        return real(blob)
+
+    monkeypatch.setattr(ph, "decode_positional_blob", counting)
+    src = {
+        "hot": ph._TermSource(hot_mass, 5, blobs=hot_blobs),
+        "rare": ph._TermSource(6, 9, blobs=[rare]),
+    }
+    offs = {"hot": [0], "rare": [1]}  # phrase: "hot rare"
+    top = ph._phrase_topk_sources(src, offs, 2, 10)
+    # hot positions {0,5}; rare doc 305 has rare@1 (hot@0 ✓), 317 has
+    # rare@6 (hot@5 ✓), 329 has rare@9 (hot@8 ✗ -> no match)
+    assert top is not None
+    ids, tfs = top
+    assert list(ids) == [305, 317] and list(tfs) == [1, 1]
+    # decodes: 1 rare blob + ONLY the hot blob covering docs 300-349
+    assert counted["n"] == 2, counted["n"]
