@@ -441,6 +441,82 @@ def _phrase_topk_sources(
     return ids[top], tfs[top]
 
 
+def _min_window_from_sources(
+    sources: dict[str, _TermSource], terms: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Proximity kernel (round-5 stretch): for every doc containing ALL the
+    query terms, the MINIMAL token window [a, b] covering at least one
+    occurrence of each term (bag-of-words, order-free) — the classic
+    smallest-covering-range sweep, fully vectorized:
+
+    - candidate docs = rarest-first intersection of the terms' doc sets
+      (with the same blob decode gating as the phrase chain);
+    - merge all (doc, pos, term) events sorted by doc-scoped key; for each
+      event as the window's right end, the best window ends there and
+      starts at the OLDEST of the per-term most-recent occurrences
+      (np.maximum.accumulate per term); per-doc minimum via
+      np.minimum.reduceat over doc boundaries.
+
+    Returns local top-k (doc_ids, min_window) ranked (window ASC, doc_id
+    ASC), or None when no doc holds all terms.  Integer windows — exact
+    cross-engine comparison needs no float rounding."""
+    order = sorted(terms, key=lambda t: (sources[t].mass, t))
+    d0, p0 = sources[order[0]].load(None)
+    if not len(d0):
+        return None
+    cand = np.unique(d0)
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {order[0]: (d0, p0)}
+    for t in order[1:]:
+        d, p = sources[t].load(cand)
+        if len(d):
+            j = np.searchsorted(cand, d)
+            ok = j < len(cand)
+            ok[ok] = cand[j[ok]] == d[ok]
+            d, p = d[ok], p[ok]
+        if not len(d):
+            return None
+        per_term[t] = (d, p)
+        cand = np.unique(d)  # ⊆ previous cand: docs holding all terms so far
+    nt = len(order)
+    dis, ps, ts = [], [], []
+    maxpos = 0
+    for ti, t in enumerate(order):
+        d, p = per_term[t]
+        j = np.searchsorted(cand, d)
+        ok = j < len(cand)
+        ok[ok] = cand[j[ok]] == d[ok]
+        j, p = j[ok], p[ok]
+        dis.append(j)
+        ps.append(p)
+        ts.append(np.full(len(p), ti, dtype=np.int64))
+        if len(p):
+            maxpos = max(maxpos, int(p.max()))
+    di = np.concatenate(dis)
+    pos = np.concatenate(ps)
+    tid = np.concatenate(ts)
+    m = maxpos + 2
+    key = di * m + pos
+    srt = np.argsort(key)  # (doc, pos) unique -> keys unique, sort is total
+    key, tid = key[srt], tid[srt]
+    lastmin = None
+    for ti in range(nt):
+        last_t = np.maximum.accumulate(np.where(tid == ti, key, -1))
+        lastmin = last_t if lastmin is None else np.minimum(lastmin, last_t)
+    big = np.int64(1) << 60
+    valid = (lastmin >= 0) & (lastmin // m == key // m)  # all terms, same doc
+    wlen = np.where(valid, key - lastmin + 1, big)
+    doc_of = key // m
+    starts = np.nonzero(np.concatenate(([True], doc_of[1:] != doc_of[:-1])))[0]
+    minw = np.minimum.reduceat(wlen, starts)
+    keep = minw < big
+    if not keep.any():
+        return None
+    ids = cand[doc_of[starts][keep]]
+    mw = minw[keep]
+    top = np.lexsort((ids, mw))[:k]
+    return ids[top], mw[top].astype(np.int64)
+
+
 def _ensure_pos_unit_cache(spark, store, key: str, src_dir: str, cfg) -> str:
     """Pack one unit's positional rows into the store's derived cache
     (``<store>/derived/pos_units/<key>``) if not already there; returns the
@@ -827,6 +903,49 @@ class PhraseServer:
             key=lambda x: (-x[0], x[1]),
         )[:k]
         return [(d, tf) for tf, d in merged]
+
+    def query_window(self, query_text: str, k: int = 10) -> list[tuple[int, int]]:
+        """Proximity ranking (round-5 stretch): -> [(doc_id, min_window)]
+        for the top-k docs containing ALL the query's (unique) terms,
+        ranked by the minimal token window covering one occurrence of each
+        (ASC; tie: doc_id ASC) — "how tightly do these terms co-occur",
+        the order-free relaxation of the exact phrase chain.  Same
+        shuffle-free one-job plan and dead-set masking as query(); exact
+        (integer windows, exact driver merge; DuckDB-gated via the
+        phrase_window driver gate)."""
+        terms = sorted(set(tokenize_text(query_text)))
+        if not terms:
+            return []
+        kk = k
+        is_packed = self.packed
+        has_stats = self._has_stats
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "min_window": pd.Series([], dtype="int64")})
+
+        def kernel(batches):
+            chunks = list(batches)
+            if not chunks:
+                yield empty
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            src = _partition_sources(pdf, terms, is_packed, has_stats)
+            if any(t not in src for t in terms):
+                yield empty  # a term absent from this partition entirely
+                return
+            top = _min_window_from_sources(src, terms, kk)
+            if top is None:
+                yield empty
+                return
+            ids, mw = top
+            yield pd.DataFrame({"doc_id": ids, "min_window": mw})
+
+        df = self._scan(terms).mapInPandas(
+            kernel, "doc_id long, min_window long"
+        )
+        merged = sorted(
+            ((int(r["min_window"]), int(r["doc_id"])) for r in df.collect())
+        )[:k]
+        return [(d, w) for w, d in merged]
 
     def query_batch(
         self, phrases: list[tuple[int, str, int]]

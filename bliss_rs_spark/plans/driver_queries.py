@@ -1581,6 +1581,50 @@ def q_phrase_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ranking (round-5 stretch): minimal token window covering
+    every query term (order-free), served through PhraseServer's
+    shuffle-free kernel — ALL docs holding all terms, integer windows."""
+    from bliss_rs_spark.operators.phrase import (
+        PhraseServer,
+        build_positional_postings,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    server = PhraseServer(spark, positional, CFG, packed=True)
+    try:
+        hits = server.query_window(PHRASE, 1_000_000)  # k > corpus: ALL
+    finally:
+        server.close()
+    return spark.createDataFrame(
+        [(int(d), int(w)) for d, w in hits], "doc_id long, min_window long"
+    )
+
+
+def _oracle_phrase_window(phrase: str) -> str:
+    terms = sorted(set(phrase.split()))
+    letters = [chr(ord("a") + i) for i in range(len(terms))]
+    ctes = ",\n".join(
+        f"p{L} AS (SELECT doc_id, p FROM pos WHERE term = '{t}')"
+        for L, t in zip(letters, terms)
+    )
+    joins = f"p{letters[0]} {letters[0]} " + " ".join(
+        f"JOIN p{L} {L} USING (doc_id)" for L in letters[1:]
+    )
+    cols = ", ".join(f"{L}.p" for L in letters)
+    return f"""
+WITH tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+pos AS (SELECT doc_id, i - 1 AS p, t[i] AS term
+        FROM tarr, unnest(generate_series(1, len(t))) AS g(i)),
+{ctes}
+SELECT {letters[0]}.doc_id,
+       min(greatest({cols}) - least({cols}) + 1)::bigint AS min_window
+FROM {joins}
+GROUP BY {letters[0]}.doc_id
+"""
+
+
 def _phrase_occ_cte(phrase: str) -> str:
     """Token-position phrase counting CTE (``occ``): counts every start
     position i with t[i..i+L-1] == phrase terms.  Positional, so back-to-back
@@ -1964,6 +2008,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "phrase_match": (q_phrase_match, ORACLE_PHRASE_MATCH),
         "phrase_packed": (q_phrase_packed, ORACLE_PHRASE_MATCH),
         "phrase_churn": (q_phrase_churn, ORACLE_PHRASE_CHURN),
+        "phrase_window": (q_phrase_window, _oracle_phrase_window(PHRASE)),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),

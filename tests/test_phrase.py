@@ -656,3 +656,39 @@ def test_decode_gating_skips_hot_blobs(monkeypatch):
     assert list(ids) == [305, 317] and list(tfs) == [1, 1]
     # decodes: 1 rare blob + ONLY the hot blob covering docs 300-349
     assert counted["n"] == 2, counted["n"]
+
+
+def test_min_window_kernel_vs_brute(spark, positional):
+    """query_window == per-doc brute-force min covering window over the
+    real tokenized contents (order-free proximity; integer windows)."""
+    from itertools import product
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+
+    pos, contents = positional
+
+    def brute(terms):
+        out = {}
+        for doc_id, content in contents.items():
+            toks = tokenize_text(content)
+            plists = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+            if any(not p for p in plists):
+                continue
+            out[doc_id] = min(
+                max(c) - min(c) + 1 for c in product(*plists)
+            )
+        return out
+
+    server = PhraseServer(spark, pos, CFG, packed=True)
+    rowsrv = PhraseServer(spark, pos, CFG, packed=False)
+    try:
+        for q in ["posting codec", "max score block", "buffer", "zzz qqq"]:
+            terms = sorted(set(tokenize_text(q)))
+            exp_map = brute(terms)
+            exp = sorted((w, d) for d, w in exp_map.items())[:10]
+            exp = [(d, w) for w, d in exp]
+            assert server.query_window(q, 10) == exp, q
+            assert rowsrv.query_window(q, 10) == exp, q
+    finally:
+        server.close()
+        rowsrv.close()
