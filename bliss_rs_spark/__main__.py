@@ -194,6 +194,21 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps({"refreshed": True, **info}),
                               flush=True)
                         continue
+                    if args.phrase and text.startswith(":window "):
+                        # proximity mode: minimal token window covering
+                        # every query term (order-free), window ASC
+                        qtext = text[len(":window "):]
+                        t0 = time.perf_counter()
+                        top = server.query_window(qtext, args.k)
+                        ms = round(1000 * (time.perf_counter() - t0), 1)
+                        print(json.dumps({
+                            "query": qtext, "mode": "window", "ms": ms,
+                            "results": [
+                                {"rank": i + 1, "doc_id": d, "min_window": w}
+                                for i, (d, w) in enumerate(top)
+                            ],
+                        }), flush=True)
+                        continue
                     t0 = time.perf_counter()
                     top = server.query(text, args.k)
                     ms = round(1000 * (time.perf_counter() - t0), 1)

@@ -67,12 +67,21 @@ def test_cli_phrase_serve(tmp_path):
     _run("synth", "--n", "150", "--dest", corpus)
     _run("build", "--source", corpus, "--index", index, "--positions")
 
-    (q,) = _run("query", "--index", index, "--text", "fast merge",
+    (q,) = _run("query", "--index", index, "--text", "posting block codec",
                 "--k", "5", "--phrase")
+    assert q["results"]  # non-vacuous: the phrase occurs in the synth corpus
     qfile = tmp_path / "queries.txt"
-    qfile.write_text("fast merge\n")
-    ready, r1 = _run("serve", "--index", index, "--k", "5", "--phrase",
-                     "--queries", str(qfile))
+    qfile.write_text(
+        "posting block codec\n:window codec posting\n:refresh\nposting block codec\n"
+    )
+    ready, r1, rw, rr, r2 = _run("serve", "--index", index, "--k", "5",
+                                 "--phrase", "--queries", str(qfile))
     assert ready["ready"] and ready["mode"] == "phrase"
     assert [(x["doc_id"], x["score"]) for x in r1["results"]] == \
         [(x["doc_id"], x["phrase_tf"]) for x in q["results"]]
+    # :window -> order-free proximity; the exact-phrase docs have windows
+    assert rw["mode"] == "window" and rw["results"]
+    assert all(x["min_window"] >= 2 for x in rw["results"])
+    # :refresh on an unchanged store is a no-op reuse; answers unchanged
+    assert rr["refreshed"] and not rr["rebuilt_units"]
+    assert r2["results"] == r1["results"]

@@ -462,6 +462,16 @@ def test_phrase_server_packed_store_with_tombstones(spark, tmp_path):
             for rank, (d, tf) in enumerate(server.query(p, 30)):
                 exp_b.append((i, rank + 1, d, tf))
         assert got_b == sorted(exp_b)
+        # query_window through the SAME dead sets == a row-mode server over
+        # the tombstone-filtered view (independent masking mechanism)
+        rowsrv = PhraseServer.from_store(spark, store, packed=False)
+        try:
+            for q in ["posting codec", "block score max"]:
+                got_w = server.query_window(q, 30)
+                assert got_w == rowsrv.query_window(q, 30), q
+                assert got_w  # non-vacuous
+        finally:
+            rowsrv.close()
     finally:
         server.close()
 
