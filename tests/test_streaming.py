@@ -129,3 +129,50 @@ def test_ingest_rate_monitor(spark, tmp_path):
         assert total == expected
     finally:
         q.stop()
+
+
+def test_stream_with_positions_serves_phrases(spark, tmp_path):
+    """A streamed store built with positions serves phrase queries through
+    the per-unit packed PhraseServer, and a WARM server refresh()es across
+    micro-batch snapshots — the streaming x phrase cross-feature path
+    (each micro-batch is a segment; each segment packs once, ever)."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import phrase_query
+
+    cfg = replace(CFG, store_positions=True)
+    in_dir = str(tmp_path / "incoming")
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = synth_documents(spark, 100, seed=11).cache()
+
+    docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0).write.parquet(
+        in_dir + "/batch1"
+    )
+    q = stream_documents_to_index(
+        spark, in_dir + "/*", store, cfg, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        server = PhraseServer.from_store(spark, store)
+        r1 = server.query("posting block codec", 10)
+        assert r1  # non-vacuous
+
+        docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 1).write.parquet(
+            in_dir + "/batch2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    info = server.refresh(store)
+    try:
+        assert info["reused_units"] and info["rebuilt_units"], info
+        got = server.query("posting block codec", 20)
+        exp = [(int(r["doc_id"]), int(r["phrase_tf"]))
+               for r in phrase_query(spark, store, "posting block codec", 20).collect()]
+        assert got == exp and len(got) > len(r1) - 1
+        # proximity rides the same refreshed units
+        assert server.query_window("codec posting", 10)
+    finally:
+        server.close()
