@@ -1602,7 +1602,43 @@ def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_phrase_window(phrase: str) -> str:
+def q_phrase_window_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ranking through the CHURNED store path: build a positional
+    segment store, start a PhraseServer, DELETE every 9th doc, refresh()
+    the warm server, then min-window rank — so the per-unit dead sets mask
+    the proximity kernel on the scored path, against an oracle over the
+    live subset."""
+    import tempfile
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.phrase import PhraseServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = replace(CFG, store_positions=True)
+    docs = _docs_adapted(spark, sf_dir)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_pwchurn_") + "/idx")
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    server = PhraseServer.from_store(spark, store)
+    try:
+        update_index(
+            spark,
+            docs.filter(F.col("doc_id") % 9 != 0),
+            store, None,
+            delete_missing=True, repack="segment", auto_maintain=False,
+        )
+        server.refresh(store)
+        if server._dead_df is None:
+            raise RuntimeError("tombstones not in play — vacuous gate")
+        hits = server.query_window(PHRASE, 1_000_000)  # ALL live holders
+    finally:
+        server.close()
+    return spark.createDataFrame(
+        [(int(d), int(w)) for d, w in hits], "doc_id long, min_window long"
+    )
+
+
+def _oracle_phrase_window(phrase: str, live_filter: str | None = None) -> str:
     terms = sorted(set(phrase.split()))
     letters = [chr(ord("a") + i) for i in range(len(terms))]
     ctes = ",\n".join(
@@ -1613,6 +1649,7 @@ def _oracle_phrase_window(phrase: str) -> str:
         f"JOIN p{L} {L} USING (doc_id)" for L in letters[1:]
     )
     cols = ", ".join(f"{L}.p" for L in letters)
+    where = f"WHERE {letters[0]}.{live_filter}" if live_filter else ""
     return f"""
 WITH tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
 pos AS (SELECT doc_id, i - 1 AS p, t[i] AS term
@@ -1621,6 +1658,7 @@ pos AS (SELECT doc_id, i - 1 AS p, t[i] AS term
 SELECT {letters[0]}.doc_id,
        min(greatest({cols}) - least({cols}) + 1)::bigint AS min_window
 FROM {joins}
+{where}
 GROUP BY {letters[0]}.doc_id
 """
 
@@ -2009,6 +2047,10 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "phrase_packed": (q_phrase_packed, ORACLE_PHRASE_MATCH),
         "phrase_churn": (q_phrase_churn, ORACLE_PHRASE_CHURN),
         "phrase_window": (q_phrase_window, _oracle_phrase_window(PHRASE)),
+        "phrase_window_churn": (
+            q_phrase_window_churn,
+            _oracle_phrase_window(PHRASE, live_filter="doc_id % 9 <> 0"),
+        ),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),
