@@ -517,6 +517,54 @@ def _min_window_from_sources(
     return ids[top], mw[top].astype(np.int64)
 
 
+def min_window_match(
+    spark: SparkSession,
+    positional: DataFrame,
+    query_text: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Batch sibling of PhraseServer.query_window: (doc_id, min_window) for
+    EVERY doc containing all the query's (unique) terms — the order-free
+    proximity relation, as a DataFrame for composition (filter by window,
+    join with BM25 scores, aggregate...).
+
+    Plan shape: term-pruned scan -> one repartition by doc_id (docs
+    complete per partition) -> the same vectorized smallest-covering-range
+    kernel the server uses, emitting every match.  One shuffle, bounded by
+    the query terms' posting mass."""
+    terms = sorted(set(tokenize_text(query_text)))
+    empty_schema = "doc_id long, min_window long"
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
+    pruned = (
+        positional.filter(F.col("term").isin(terms))
+        .select("term", "doc_id", "positions")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "min_window": pd.Series([], dtype="int64")})
+    big_k = 1 << 62
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            yield empty
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        src = _partition_sources(pdf, terms, False, False)
+        if any(t not in src for t in terms):
+            yield empty
+            return
+        top = _min_window_from_sources(src, terms, big_k)
+        if top is None:
+            yield empty
+            return
+        ids, mw = top
+        yield pd.DataFrame({"doc_id": ids, "min_window": mw})
+
+    return pruned.mapInPandas(kernel, empty_schema)
+
+
 def _ensure_pos_unit_cache(spark, store, key: str, src_dir: str, cfg) -> str:
     """Pack one unit's positional rows into the store's derived cache
     (``<store>/derived/pos_units/<key>``) if not already there; returns the

@@ -1857,6 +1857,84 @@ ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
 
 
+WINDOW_MAX = 6
+
+
+def q_window_then_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: order-free proximity FILTER (all query terms within a
+    <=6-token window, via the batch min_window_match relation) -> BM25 rank
+    of those docs — proximity-gated retrieval, the loose-phrase variant of
+    phrase_then_rank."""
+    from bliss_rs_spark.operators.bm25 import bm25_topk
+    from bliss_rs_spark.operators.phrase import (
+        build_positional_postings,
+        min_window_match,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    idx = _index(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    near = min_window_match(spark, positional, PHRASE, CFG).filter(
+        F.col("min_window") <= WINDOW_MAX
+    )
+    ranked = bm25_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl, PHRASE, 10_000_000, CFG
+    )
+    return (
+        ranked.join(near, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "min_window", _r6(F.col("score")).alias("score_r"))
+    )
+
+
+def _oracle_window_then_rank() -> str:
+    terms = sorted(set(PHRASE.split()))
+    letters = [chr(ord("a") + i) for i in range(len(terms))]
+    ctes = ",\n".join(
+        f"p{L} AS (SELECT doc_id, p FROM pos WHERE term = '{t}')"
+        for L, t in zip(letters, terms)
+    )
+    joins = f"p{letters[0]} {letters[0]} " + " ".join(
+        f"JOIN p{L} {L} USING (doc_id)" for L in letters[1:]
+    )
+    cols = ", ".join(f"{L}.p" for L in letters)
+    return f"""
+WITH {_TOKS_CTE.lstrip()},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term) AS {_PHRASE_TERMS_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+),
+tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+pos AS (SELECT doc_id, i - 1 AS p, t[i] AS term
+        FROM tarr, unnest(generate_series(1, len(t))) AS g(i)),
+{ctes},
+win AS (
+  SELECT {letters[0]}.doc_id,
+         min(greatest({cols}) - least({cols}) + 1)::bigint AS min_window
+  FROM {joins}
+  GROUP BY {letters[0]}.doc_id
+  HAVING min(greatest({cols}) - least({cols}) + 1) <= {WINDOW_MAX}
+)
+SELECT s.doc_id, w.min_window, round(s.score, 6) AS score_r
+FROM scored s JOIN win w ON w.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event joined to the user's latest prior-or-equal
     purchase (pandas merge_asof per cogroup; DuckDB native ASOF JOIN oracle)."""
@@ -2055,6 +2133,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "event_pivot": (q_event_pivot, ORACLE_EVENT_PIVOT),
         "segment_revenue_topn": (q_segment_revenue_topn, ORACLE_SEGMENT_REVENUE),
         "phrase_then_rank": (q_phrase_then_rank, ORACLE_PHRASE_THEN_RANK),
+        "window_then_rank": (q_window_then_rank, _oracle_window_then_rank()),
         "asof_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
         "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
         "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
