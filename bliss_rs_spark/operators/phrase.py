@@ -342,17 +342,30 @@ class _TermSource:
 
 
 def _partition_sources(
-    pdf: pd.DataFrame, terms, is_packed: bool, has_stats: bool
+    pdf: pd.DataFrame, terms, is_packed: bool, has_stats: bool,
+    dead_lookup: dict | None = None,
 ) -> dict[str, _TermSource]:
-    """term -> _TermSource over one partition's term-filtered rows."""
+    """term -> _TermSource over one partition's term-filtered rows.
+
+    ``dead_lookup``: {(unit, shard): encoded dead doc_ids} from the
+    server's broadcast variable — each blob row resolves its own (unit,
+    shard) dead set for decode-time masking."""
     out: dict[str, _TermSource] = {}
-    has_dead = "dead" in pdf.columns
+    if dead_lookup is None:
+        dead_lookup = {}
+    has_us = "unit" in pdf.columns and "shard" in pdf.columns
     for t in terms:
         sub = pdf[pdf["term"] == t]
         if len(sub) == 0:
             continue
         if is_packed:
-            dead_it = sub["dead"] if has_dead else [None] * len(sub)
+            if dead_lookup and has_us:
+                dead_it = [
+                    dead_lookup.get((int(u), int(s)))
+                    for u, s in zip(sub["unit"], sub["shard"])
+                ]
+            else:
+                dead_it = [None] * len(sub)
             if has_stats:
                 out[t] = _TermSource(
                     int(sub["n_pos"].sum()),
@@ -649,7 +662,7 @@ class PhraseServer:
         self._unit_fps: dict[int, tuple] = {}  # filled by from_store/refresh
         self._pin: str | None = None  # gc() pin file (from_store servers)
         self._store_mode = units is not None
-        self._dead_df: DataFrame | None = None
+        self._dead_bc = None  # broadcast {(unit, shard): dead bytes}
         self._unit_frames: dict[int, DataFrame] = {}
         self._has_stats = True
 
@@ -719,21 +732,29 @@ class PhraseServer:
         )
 
     def _set_tombstones(self, tombstones: DataFrame | None) -> None:
-        """(unit, shard, dead) — per-unit dead doc_ids, computed DISTRIBUTED
-        over the churn-sized tombstones frame and broadcast-joined per query
-        (narrow).  Same machinery as WandServer's dead frame."""
-        old = self._dead_df
-        self._dead_df = None
+        """Per-(unit, shard) dead doc_ids, computed DISTRIBUTED over the
+        churn-sized tombstones frame (WandServer's _dead_sets_df machinery)
+        and shipped to workers ONCE per (re)point as a broadcast variable —
+        round 5: a per-query broadcast JOIN re-collected and re-shipped the
+        same frame on every query's new plan; the variable carries identical
+        bytes once and keeps the per-query plan exchange-free.  Bounded by
+        maintain()'s tombstone ceilings; compact_full resets it."""
+        old = self._dead_bc
+        self._dead_bc = None
         if tombstones is not None and tombstones.limit(1).count() > 0:
             from bliss_rs_spark.operators.wand import _dead_sets_df
 
-            dead = _dead_sets_df(
+            rows = _dead_sets_df(
                 tombstones,
                 [(seq, None, None) for seq in self._unit_frames],
                 self.cfg.n_doc_shards,
-            ).persist()
-            dead.count()
-            self._dead_df = dead
+            ).collect()
+            self._dead_bc = self.spark.sparkContext.broadcast(
+                {
+                    (int(r["unit"]), int(r["shard"])): bytes(r["dead"])
+                    for r in rows
+                }
+            )
         if old is not None:
             old.unpersist()
 
@@ -879,9 +900,10 @@ class PhraseServer:
 
     def _scan(self, terms: list[str]) -> DataFrame:
         """Per-query frame: the cached partitions filtered to the query's
-        terms, with the churn-sized dead frame broadcast-joined on
-        (unit, shard) — all narrow operations, no shuffle of the big side
-        (union concatenates child partitions)."""
+        terms — all narrow operations, no shuffle and no broadcast exchange
+        (round 5: dead sets ride in as a broadcast VARIABLE shipped once
+        per (re)point, not a per-query join; union concatenates child
+        partitions)."""
         flt = F.col("term").isin(terms)
         if not self.packed:
             return self.pos.filter(flt)
@@ -889,9 +911,7 @@ class PhraseServer:
         for seq in sorted(self._unit_frames):
             pf = self._unit_frames[seq].filter(flt)
             u = pf if u is None else u.unionByName(pf)
-        if self._dead_df is not None:
-            return u.join(F.broadcast(self._dead_df), ["unit", "shard"], "left")
-        return u.withColumn("dead", F.lit(None).cast("binary"))
+        return u
 
     def _plan_for(self, phrase: str, k: int) -> DataFrame | None:
         """The per-query physical plan: filter over the persisted pack(s) +
@@ -914,6 +934,7 @@ class PhraseServer:
         is_packed = self.packed
         has_stats = self._has_stats
         uniq_terms = sorted(offsets)
+        dead_bc = self._dead_bc
 
         def kernel(batches):
             # accumulate the partition's batches: a term's rows may straddle
@@ -923,7 +944,10 @@ class PhraseServer:
                 yield empty
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            src = _partition_sources(pdf, uniq_terms, is_packed, has_stats)
+            src = _partition_sources(
+                pdf, uniq_terms, is_packed, has_stats,
+                dead_bc.value if dead_bc is not None else None,
+            )
             if any(t not in src for t in offsets):
                 yield empty  # a term absent from this partition entirely
                 return
@@ -967,6 +991,7 @@ class PhraseServer:
         kk = k
         is_packed = self.packed
         has_stats = self._has_stats
+        dead_bc = self._dead_bc
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "min_window": pd.Series([], dtype="int64")})
 
@@ -976,7 +1001,10 @@ class PhraseServer:
                 yield empty
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            src = _partition_sources(pdf, terms, is_packed, has_stats)
+            src = _partition_sources(
+                pdf, terms, is_packed, has_stats,
+                dead_bc.value if dead_bc is not None else None,
+            )
             if any(t not in src for t in terms):
                 yield empty  # a term absent from this partition entirely
                 return
@@ -1021,6 +1049,7 @@ class PhraseServer:
         union_terms = sorted({t for offs, _, _ in specs.values() for t in offs})
         is_packed = self.packed
         has_stats = self._has_stats
+        dead_bc = self._dead_bc
         empty = pd.DataFrame(
             {
                 "phrase_id": pd.Series([], dtype="int32"),
@@ -1035,7 +1064,10 @@ class PhraseServer:
                 yield empty
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            src = _partition_sources(pdf, union_terms, is_packed, has_stats)
+            src = _partition_sources(
+                pdf, union_terms, is_packed, has_stats,
+                dead_bc.value if dead_bc is not None else None,
+            )
             out = {"phrase_id": [], "doc_id": [], "phrase_tf": []}
             for pid, (offs, n_terms, k) in specs.items():
                 if any(t not in src for t in offs):
@@ -1084,5 +1116,5 @@ class PhraseServer:
             return
         for f in self._unit_frames.values():
             f.unpersist()
-        if self._dead_df is not None:
-            self._dead_df.unpersist()
+        if self._dead_bc is not None:
+            self._dead_bc.unpersist()

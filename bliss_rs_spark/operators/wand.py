@@ -658,8 +658,9 @@ class WandServer:
       (content-fingerprinted via hard-link-stable inodes);
     - keeps per-shard doc maps DISTRIBUTED as sentinel rows (term NULL)
       co-partitioned with their shard's blocks, and per-(unit, shard) dead
-      sets as a tiny persisted frame broadcast-joined per query (narrow —
-      no shuffle of the big side; rebuilt alone when only churn changed):
+      sets as a broadcast VARIABLE shipped once per (re)point (round 5 —
+      the per-query broadcast JOIN re-collected and re-shipped the same
+      churn-bounded frame on every query; rebuilt alone when churn changed):
       ordinal->doc_id resolution and tombstone masking happen map-side
       inside the kernel (worker-memoized), so query task closures are O(1).
       The idf table is collected only when the vocab is small (<= 2M terms,
@@ -725,10 +726,10 @@ class WandServer:
                 seq, p, dm, self._unit_partitions(i)
             )
 
-        # --- tombstones: churn-scale, never collected — a tiny persisted
-        # (unit, shard, dead) frame broadcast-joined per query (narrow, no
-        # shuffle), REBUILT alone on refresh when only churn changed
-        self._dead_df: DataFrame | None = None
+        # --- tombstones: per-(unit, shard) dead sets computed distributed,
+        # then shipped ONCE per (re)point as a broadcast variable (see
+        # _set_tombstones), REBUILT alone on refresh when only churn changed
+        self._dead_bc = None
         self._set_tombstones(tombstones)
         self.single_stage = self._placement_ok()
 
@@ -797,18 +798,33 @@ class WandServer:
     def _set_tombstones(
         self, tombstones: dict[int, int] | DataFrame | None
     ) -> None:
+        """Dead sets are COMPUTED distributed (_dead_sets_df over the
+        churn-sized tombstones frame) and then shipped to workers ONCE per
+        (re)point via a Spark broadcast variable keyed by (unit, shard) —
+        round 5: the previous per-query broadcast JOIN re-collected and
+        re-shipped the same frame on every query's new plan (~0.6s/query
+        measured at 1M/7 units) and put a BroadcastExchange in the serving
+        plan.  A broadcast variable carries identical bytes (a broadcast
+        hash join materializes its build side driver-side anyway), shipped
+        once, and the per-query plan stays scan -> filter -> mapInPandas —
+        truly single-stage even under churn.  Size is bounded by
+        maintain()'s tombstone ceilings, and compact_full resets it."""
         tomb_df = _as_tombstone_df(self.spark, tombstones)
         self._tomb_df = tomb_df
-        old = self._dead_df
+        old = self._dead_bc
         has_tomb = tomb_df is not None and tomb_df.limit(1).count() > 0
         if has_tomb:
-            dead = _dead_sets_df(
+            dead_rows = _dead_sets_df(
                 tomb_df, self._units, self.cfg.n_doc_shards
-            ).persist()
-            dead.count()
-            self._dead_df = dead
+            ).collect()
+            self._dead_bc = self.spark.sparkContext.broadcast(
+                {
+                    (int(r["unit"]), int(r["shard"])): bytes(r["dead"])
+                    for r in dead_rows
+                }
+            )
         else:
-            self._dead_df = None
+            self._dead_bc = None
         if old is not None:
             old.unpersist()
 
@@ -1035,21 +1051,18 @@ class WandServer:
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
         k1, b, avgdl, kk = self.cfg.k1, self.cfg.b, self.avgdl, k
+        dead_bc = self._dead_bc  # Broadcast handle; picklable into closures
 
         def kernel(batches):
             by_us: dict[tuple[int, int], list] = {}
             maps: dict[tuple[int, int], bytes] = {}
-            deads: dict[tuple[int, int], bytes] = {}
+            deads = dead_bc.value if dead_bc is not None else {}
             for pdf in batches:
-                for unit, shard, term, blocks, doc_ids, dead_b in zip(
+                for unit, shard, term, blocks, doc_ids in zip(
                     pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"],
-                    pdf["doc_ids"], pdf["dead"],
+                    pdf["doc_ids"],
                 ):
                     us = (int(unit), int(shard))
-                    # dead bytes arrive on every row of a churned (unit,
-                    # shard) via the broadcast join — first sighting wins
-                    if dead_b is not None and us not in deads:
-                        deads[us] = bytes(dead_b)
                     if term is None:  # sentinel row: the shard's doc map
                         if doc_ids is not None:
                             maps[us] = bytes(doc_ids)
@@ -1084,26 +1097,24 @@ class WandServer:
 
     def _serving_plan(self, terms: list[str]) -> DataFrame:
         """Per-query frame: union of the per-unit cached frames filtered to
-        the query's terms (+ doc-map sentinels), with the churn-sized dead
-        frame broadcast-joined on (unit, shard) — all narrow operations
-        over the cached partitions, no shuffle (union concatenates child
-        partitions; a broadcast join never exchanges the big side)."""
+        the query's terms (+ doc-map sentinels) — all narrow operations
+        over the cached partitions, no shuffle and (round 5) no broadcast
+        exchange either: dead sets ride in as a broadcast VARIABLE shipped
+        once per (re)point, not as a per-query join."""
         flt = F.col("term").isin(terms) | F.col("term").isNull()
         u = None
         for seq in sorted(self._unit_frames):
             pf = self._unit_frames[seq].filter(flt)
             u = pf if u is None else u.unionByName(pf)
-        if self._dead_df is not None:
-            return u.join(F.broadcast(self._dead_df), ["unit", "shard"], "left")
-        return u.withColumn("dead", F.lit(None).cast("binary"))
+        return u
 
     def close(self):
         import os
 
         for f in self._unit_frames.values():
             f.unpersist()
-        if self._dead_df is not None:
-            self._dead_df.unpersist()
+        if self._dead_bc is not None:
+            self._dead_bc.unpersist()
         self._ts.unpersist()
         for path in self._pins.values():  # release gc() pins
             try:

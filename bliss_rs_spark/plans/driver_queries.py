@@ -1571,7 +1571,7 @@ def q_phrase_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         info = server.refresh(store)
         if not info["reused_units"]:
             raise RuntimeError(f"refresh rebuilt everything: {info}")
-        if server._dead_df is None:
+        if server._dead_bc is None:
             raise RuntimeError("tombstones not in play — vacuous gate")
         hits = server.query(PHRASE, 1_000_000)  # k > corpus: ALL matches
     finally:
@@ -1628,7 +1628,7 @@ def q_phrase_window_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             delete_missing=True, repack="segment", auto_maintain=False,
         )
         server.refresh(store)
-        if server._dead_df is None:
+        if server._dead_bc is None:
             raise RuntimeError("tombstones not in play — vacuous gate")
         hits = server.query_window(PHRASE, 1_000_000)  # ALL live holders
     finally:

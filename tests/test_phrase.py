@@ -442,7 +442,7 @@ def test_phrase_server_packed_store_with_tombstones(spark, tmp_path):
     update_index(spark, docs_c, store, None, delete_missing=True, repack="segment")
 
     server = PhraseServer.from_store(spark, store)
-    assert server._dead_df is not None  # tombstones actually in play
+    assert server._dead_bc is not None  # tombstones actually in play
     try:
         batch = []
         nonvac = 0
