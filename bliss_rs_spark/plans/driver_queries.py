@@ -2078,6 +2078,50 @@ FROM documents ORDER BY {s} DESC, doc_id ASC LIMIT 15
 """
 
 
+# --- trigram substring / regex search (code-search exact-match tier) ---------
+
+SUBSTRING_NEEDLE = "fast merge"
+REGEX_PATTERN = "(hash|merge) join"  # literal-extractable; Java & RE2 agree
+
+
+def _trigram_index(spark: SparkSession, sf_dir: str):
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    key = ("trigram", id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    if key not in _IDX_MEMO:
+        _IDX_MEMO[key] = build_trigram_index(_docs_adapted(spark, sf_dir)).cache()
+    return _IDX_MEMO[key]
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring match via the trigram presence index (grep tier):
+    AND the needle's trigram postings, verify `contains` only on the
+    candidate sliver (operators/trigram.py)."""
+    from bliss_rs_spark.operators.trigram import substring_search
+
+    docs = _docs_adapted(spark, sf_dir)
+    return substring_search(docs, _trigram_index(spark, sf_dir), SUBSTRING_NEEDLE)
+
+
+ORACLE_SUBSTRING = f"""
+SELECT doc_id FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
+"""
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over content, pruned by the trigram postings of the pattern's
+    required literals (Cox derivation), verified with rlike."""
+    from bliss_rs_spark.operators.trigram import regex_search
+
+    docs = _docs_adapted(spark, sf_dir)
+    return regex_search(docs, _trigram_index(spark, sf_dir), REGEX_PATTERN)
+
+
+ORACLE_REGEX = f"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -2140,4 +2184,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS),
         "except_langs": (q_except_langs, ORACLE_EXCEPT_LANGS),
         "custom_topk": (q_custom_topk, _oracle_custom_topk()),
+        "substring_search": (q_substring_search, ORACLE_SUBSTRING),
+        "regex_search": (q_regex_search, ORACLE_REGEX),
     }

@@ -1,0 +1,162 @@
+"""Trigram substring/regex search: extraction correctness, pruning
+soundness AND effectiveness (non-vacuous: candidates must be a strict
+sliver of the corpus), short-needle fallback, and the regex
+required-literal derivation."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.operators.trigram import (
+    build_trigram_index,
+    regex_required_literals,
+    regex_search,
+    substring_candidates,
+    substring_search,
+    trigrams_of,
+)
+
+DOCS = [
+    (0, "fn main() { println!(\"hello world\"); }"),
+    (1, "def main():\n    print('hello world')"),
+    (2, "class HelloWorld { public static void main(String[] a) {} }"),
+    (3, "SELECT doc_id FROM documents WHERE contains(text, 'needle')"),
+    (4, "let hello_world = compute_hash_join(left, right);"),
+    (5, "x"),  # shorter than one trigram
+    (6, "merge sort and hash join walk into a bar"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, content string").cache()
+
+
+@pytest.fixture(scope="module")
+def tri(docs):
+    return build_trigram_index(docs).cache()
+
+
+def _py_trigrams(s):
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def test_index_matches_python_extraction(docs, tri):
+    got = {
+        (r["doc_id"], r["gram"]) for r in tri.select("doc_id", "gram").collect()
+    }
+    want = {(i, g) for i, s in DOCS for g in _py_trigrams(s)}
+    assert got == want  # incl. doc 5 contributing nothing
+
+
+def test_trigrams_of_is_distinct_sorted():
+    assert trigrams_of("aaaa") == ["aaa"]
+    assert trigrams_of("ab") == []
+
+
+@pytest.mark.parametrize(
+    "needle", ["hello world", "hash join", "main()", "doc_id", "ain(S"]
+)
+def test_substring_search_exact(docs, tri, needle):
+    got = sorted(r["doc_id"] for r in substring_search(docs, tri, needle).collect())
+    want = sorted(i for i, s in DOCS if needle in s)
+    assert got == want
+    assert want, f"vacuous needle {needle!r}"  # every case must match something
+
+
+def test_candidates_are_superset_and_pruned(docs, tri):
+    # 'hash join' appears verbatim in 4? no — doc 4 has hash_join, doc 6 has
+    # 'hash join'.  Candidates must cover the true answer AND exclude docs
+    # that share no grams.
+    cand = {r["doc_id"] for r in substring_candidates(tri, "hash join").collect()}
+    assert 6 in cand
+    assert {i for i, s in DOCS if "hash join" in s} <= cand
+    assert 5 not in cand and 3 not in cand  # pruning actually prunes
+
+
+def test_short_needle_full_scan_fallback(docs, tri):
+    got = sorted(r["doc_id"] for r in substring_search(docs, tri, "x").collect())
+    assert got == sorted(i for i, s in DOCS if "x" in s)
+    assert 5 in got
+
+
+def test_rarest_k_gram_budget_still_exact(docs, tri):
+    full = sorted(
+        r["doc_id"] for r in substring_search(docs, tri, "hello world").collect()
+    )
+    budget = sorted(
+        r["doc_id"]
+        for r in substring_search(docs, tri, "hello world", max_query_grams=3).collect()
+    )
+    assert budget == full
+
+
+@pytest.mark.parametrize(
+    "pattern,want",
+    [
+        ("hello world", ["hello world"]),
+        ("hello (world|there)", ["hello "]),
+        ("(hash|merge) join", [" join"]),
+        ("ke?y agg", ["k", "y agg"]),
+        ("main\\(\\)", ["main()"]),
+        ("colou?r", ["colo", "r"]),
+        ("a+b", ["a", "b"]),  # a+ still requires one a; run break is fine
+        ("x*yz", ["yz"]),
+        ("foo|bar", []),  # top-level alternation: nothing guaranteed
+        ("\\d+\\.\\d+", ["."]),
+        ("^import\\s+os$", ["import", "os"]),
+    ],
+)
+def test_regex_required_literals(pattern, want):
+    got = regex_required_literals(pattern)
+    assert got == want
+    # soundness: every literal must be a substring of every match the
+    # pattern accepts — spot-check with a generated example when trivial
+    for lit in got:
+        assert lit  # never empty
+
+
+def test_regex_required_literals_sound_on_matches():
+    # property: for strings that MATCH the pattern, every required literal
+    # is present
+    cases = [
+        ("hello (world|there)", ["hello world", "hello there"]),
+        ("ke?y agg", ["key agg", "ky agg"]),
+        ("colou?r", ["color", "colour"]),
+        ("a+b", ["ab", "aaab"]),
+    ]
+    for pattern, matches in cases:
+        lits = regex_required_literals(pattern)
+        for m in matches:
+            assert re.fullmatch(pattern, m)
+            for lit in lits:
+                assert lit in m, (pattern, m, lit)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["hello (world|there)", "(hash|merge) join", "main\\(\\)", "doc_id|hash_join"],
+)
+def test_regex_search_exact(docs, tri, pattern):
+    got = sorted(r["doc_id"] for r in regex_search(docs, tri, pattern).collect())
+    want = sorted(i for i, s in DOCS if re.search(pattern, s))
+    assert got == want
+    assert want, f"vacuous pattern {pattern!r}"
+
+
+def test_candidate_plan_pushes_gram_filter_no_content_scan(docs, tri, tmp_path):
+    """Against a STORED trigram index (the production shape), candidate
+    generation never touches document content and the gram IN-list reaches
+    the parquet scan as a pushed filter."""
+    p = str(tmp_path / "tri.parquet")
+    tri.write.parquet(p)
+    stored = docs.sparkSession.read.parquet(p)
+    plan = (
+        substring_candidates(stored, "hash join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan
+    assert "PushedFilters: [" in plan and "In(gram" in plan
