@@ -1,0 +1,241 @@
+"""Structured query language over the inverted index: boolean retrieval,
+multi-term expansion (prefix / fuzzy), and more-like-this.
+
+BM25 top-k answers bag-of-words queries; a code-search engine also needs
+the Lucene-tier query operators — MUST / SHOULD / MUST_NOT composition,
+`merg*` prefix expansion, single-edit fuzzy matching for typo'd
+identifiers, and "find code like this file".  All of them reduce to the
+same physical shape as the flagship query (operators/bm25.py): broadcast a
+tiny term relation, prune the postings scan to its buckets, score with the
+pure-column BM25 expression, aggregate per doc, top-k.
+
+Reference parity: the reference composes its retrieval the same way — a
+candidate predicate stage before ranking (`analyzed = true` + seed
+exclusion, /root/reference/src/library.rs:1019-1084) feeding one scoring
+pass (/root/reference/src/playlist.rs:256-270).  MUST/MUST_NOT are that
+predicate stage generalized to term containment; prefix/fuzzy are the
+query-side analyzer relaxed to a vocabulary scan.
+
+Scale notes:
+
+- Expansion never collects the vocabulary.  Prefix/fuzzy filter the
+  term_stats table DISTRIBUTED (startswith is a pushed parquet filter;
+  levenshtein is a JVM expression over the — corpus-dwarfed — vocab) and
+  the expanded (term, idf) relation joins postings as a broadcast.  The
+  only driver-side collect is the DISTINCT BUCKET list for partition
+  pruning, bounded by cfg.n_term_buckets regardless of expansion size.
+- At 10^12-doc vocabularies a per-query vocab scan for fuzzy could be
+  replaced by a precomputed SymSpell deletion-neighborhood table
+  (delete-variant -> term equi-join); the API is the same relation, so
+  that swap is storage-side only.
+- Boolean MUST/MUST_NOT stay inside the single scoring aggregation: MUST
+  is a conditional count in the same groupBy (postings are unique per
+  (term, doc), so count == len(must) iff all present), MUST_NOT is one
+  anti-join against the pruned postings of the excluded terms.  No extra
+  pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.operators.bm25 import (
+    bm25_score_col,
+    query_terms,
+    term_buckets,
+)
+
+__all__ = [
+    "boolean_topk",
+    "expand_prefix",
+    "expand_fuzzy",
+    "expanded_topk",
+    "prefix_topk",
+    "fuzzy_topk",
+    "more_like_this",
+]
+
+
+def boolean_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Boolean-composed BM25 top-k.
+
+    Semantics (Lucene BooleanQuery): a hit contains EVERY analyzed `must`
+    term and NO `must_not` term; its score is the BM25 sum over the matched
+    must+should terms.  Ties break (score DESC, doc_id ASC) like every
+    top-k in the engine.
+    """
+    cfg = cfg or IndexConfig()
+    must_terms = query_terms(must, lang, cfg)
+    should_terms = [t for t in query_terms(should, lang, cfg) if t not in must_terms]
+    not_terms = query_terms(must_not, lang, cfg)
+    scored_terms = sorted(set(must_terms) | set(should_terms))
+    if not scored_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    buckets = term_buckets(spark, scored_terms, cfg)
+    pruned = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(scored_terms)
+    )
+    scored = pruned.join(
+        F.broadcast(
+            term_stats.filter(F.col("term").isin(scored_terms)).select("term", "idf")
+        ),
+        "term",
+    ).withColumn("partial", bm25_score_col(cfg, avgdl))
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.sum(
+            F.when(F.col("term").isin(must_terms), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_must"),
+    )
+    hits = agg.filter(F.col("n_must") == F.lit(len(must_terms))).select(
+        "doc_id", "score"
+    )
+
+    if not_terms:
+        nb = term_buckets(spark, not_terms, cfg)
+        excluded = postings.filter(
+            F.col("term_bucket").isin(nb) & F.col("term").isin(not_terms)
+        ).select("doc_id")
+        hits = hits.join(excluded, "doc_id", "left_anti")
+
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def expand_prefix(term_stats: DataFrame, prefix: str) -> DataFrame:
+    """Vocabulary terms starting with ``prefix`` -> (term, idf), distributed
+    (startswith reaches the parquet scan as StringStartsWith)."""
+    return term_stats.filter(F.col("term").startswith(prefix)).select("term", "idf")
+
+
+def expand_fuzzy(term_stats: DataFrame, term: str, max_dist: int = 1) -> DataFrame:
+    """Vocabulary terms within ``max_dist`` Levenshtein edits of ``term``
+    -> (term, idf).  JVM levenshtein over the vocab relation; see module
+    notes for the SymSpell swap at extreme vocab sizes."""
+    return term_stats.filter(
+        F.levenshtein(F.col("term"), F.lit(term)) <= F.lit(max_dist)
+    ).select("term", "idf")
+
+
+def expanded_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    expanded: DataFrame,
+    avgdl: float,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """BM25 top-k over an EXPANDED term relation (term, idf).
+
+    Sum semantics: the score is exactly what the base query path would
+    give for a query containing every expanded term once — the expansion
+    is therefore oracle-checkable, unlike Lucene's blended rewrite.
+    """
+    cfg = cfg or IndexConfig()
+    # bounded driver round-trip: the distinct BUCKET list (<= n_term_buckets
+    # ints) for partition pruning — never the expanded terms themselves
+    buckets = sorted(
+        r["b"]
+        for r in expanded.select(
+            F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pruned = postings.filter(F.col("term_bucket").isin(buckets))
+    if exclude_doc_ids:
+        pruned = pruned.filter(~F.col("doc_id").isin(exclude_doc_ids))
+    scored = pruned.join(F.broadcast(expanded), "term").withColumn(
+        "partial", bm25_score_col(cfg, avgdl)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def prefix_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    prefix: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """`merg*`: BM25 top-k over every vocab term with the given prefix."""
+    return expanded_topk(
+        spark, postings, expand_prefix(term_stats, prefix), avgdl, k, cfg
+    )
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    term: str,
+    k: int = 10,
+    max_dist: int = 1,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """`mrege~1`: BM25 top-k over every vocab term within ``max_dist``
+    edits — typo-tolerant identifier search."""
+    return expanded_topk(
+        spark, postings, expand_fuzzy(term_stats, term, max_dist), avgdl, k, cfg
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    seed_doc_id: int,
+    k: int = 10,
+    top_terms: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Similarity by example: take the seed document's ``top_terms``
+    highest tf*idf terms as a query, score the corpus, exclude the seed.
+
+    The seed's term vector is one pruned-by-doc lookup (tiny); the
+    representative-term choice is deterministic (tf*idf DESC, term ASC) so
+    an oracle can replay it.  The seed itself is excluded like the
+    reference's playlist-from-song excludes the seed song
+    (/root/reference/src/playlist.rs:256-270).
+    """
+    cfg = cfg or IndexConfig()
+    seed_vec = postings.filter(F.col("doc_id") == F.lit(seed_doc_id)).join(
+        term_stats.select("term", "idf"), "term"
+    )
+    rep = (
+        seed_vec.withColumn("w", F.col("tf").cast("double") * F.col("idf"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(top_terms)
+        .select("term", "idf")
+    )
+    return expanded_topk(
+        spark, postings, rep, avgdl, k, cfg, exclude_doc_ids=[seed_doc_id]
+    )

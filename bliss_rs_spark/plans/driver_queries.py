@@ -2122,6 +2122,151 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 """
 
 
+# --- structured query language: boolean / prefix / fuzzy / more-like-this ----
+
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = "table window", "hash join", "vector"
+PREFIX_Q, PREFIX_K = "s", 15
+FUZZY_Q, FUZZY_DIST, FUZZY_K = "jion", 2, 15
+MLT_SEED, MLT_TERMS, MLT_K = 42, 5, 15
+
+
+def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean retrieval: MUST terms filter, SHOULD terms add
+    score, MUST_NOT anti-joins (operators/query_ops.py)."""
+    from bliss_rs_spark.operators.query_ops import boolean_topk
+
+    idx = _index(spark, sf_dir)
+    out = boolean_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=BM25_K, cfg=CFG,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+def _bm25_sum_sql() -> str:
+    return (
+        "sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+        " * tf.tf * (1.2 + 1.0)"
+        " / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) )"
+    )
+
+
+_BOOL_Q_SQL = "(VALUES " + ", ".join(
+    [f"('{t}', true)" for t in sorted(BOOL_MUST.split())]
+    + [f"('{t}', false)" for t in sorted(BOOL_SHOULD.split())]
+) + ")"
+
+ORACLE_BOOLEAN = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q(term, is_must) AS {_BOOL_Q_SQL},
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_sum_sql()} AS score,
+         sum(CASE WHEN q.is_must THEN 1 ELSE 0 END) AS n_must
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored s
+WHERE n_must = {len(BOOL_MUST.split())}
+  AND NOT EXISTS (SELECT 1 FROM tf t2 WHERE t2.doc_id = s.doc_id AND t2.term = '{BOOL_NOT}')
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`s*` prefix expansion over the vocabulary, BM25 sum semantics."""
+    from bliss_rs_spark.operators.query_ops import prefix_topk
+
+    idx = _index(spark, sf_dir)
+    out = prefix_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl, PREFIX_Q, PREFIX_K, CFG
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+def _oracle_expanded(q_cte: str, k: int) -> str:
+    """Shared oracle shape for expanded-term BM25: the expansion is derived
+    IN SQL from the corpus vocabulary (df CTE), not pasted from Spark —
+    both engines must independently agree on the expanded set."""
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q AS ({q_cte}),
+scored AS (
+  SELECT tf.doc_id, {_bm25_sum_sql()} AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+ORACLE_PREFIX = _oracle_expanded(
+    f"SELECT term FROM df WHERE starts_with(term, '{PREFIX_Q}')", PREFIX_K
+)
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant retrieval: `jion~2` expands to every vocab term within
+    2 edits (both engines derive the expansion independently)."""
+    from bliss_rs_spark.operators.query_ops import fuzzy_topk
+
+    idx = _index(spark, sf_dir)
+    out = fuzzy_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        FUZZY_Q, FUZZY_K, FUZZY_DIST, CFG,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_FUZZY = _oracle_expanded(
+    f"SELECT term FROM df WHERE levenshtein(term, '{FUZZY_Q}') <= {FUZZY_DIST}",
+    FUZZY_K,
+)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-similar-by-example: seed doc's top tf*idf terms as the query,
+    seed excluded (reference playlist-from-song shape)."""
+    from bliss_rs_spark.operators.query_ops import more_like_this
+
+    idx = _index(spark, sf_dir)
+    out = more_like_this(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        MLT_SEED, MLT_K, MLT_TERMS, CFG,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_MLT = _oracle_expanded(
+    f"""SELECT tf.term FROM tf JOIN df USING (term), stats
+  WHERE tf.doc_id = {MLT_SEED}
+  ORDER BY tf.tf * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) DESC, tf.term ASC
+  LIMIT {MLT_TERMS}""",
+    MLT_K,
+).replace(
+    "FROM scored ORDER BY",
+    f"FROM scored WHERE doc_id <> {MLT_SEED} ORDER BY",
+)
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -2186,4 +2331,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "custom_topk": (q_custom_topk, _oracle_custom_topk()),
         "substring_search": (q_substring_search, ORACLE_SUBSTRING),
         "regex_search": (q_regex_search, ORACLE_REGEX),
+        "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
+        "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
+        "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),
+        "more_like_this": (q_more_like_this, ORACLE_MLT),
     }
