@@ -194,6 +194,33 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps({"refreshed": True, **info}),
                               flush=True)
                         continue
+                    if not args.phrase and text.startswith(":filter "):
+                        # ":filter <name> <column>=<value>" — register a
+                        # named metadata filter from the store's doc_stats
+                        # (allow sets computed distributed, shipped once)
+                        from pyspark.sql import functions as F
+
+                        _, name, pred = text.split(maxsplit=2)
+                        col, val = pred.split("=", 1)
+                        ds = store.load(spark, "doc_stats")
+                        allow = ds.filter(F.col(col) == val).select("doc_id")
+                        server.set_filter(name, allow)
+                        print(json.dumps({"filter": name, "on": pred,
+                                          "n_docs": allow.count()}),
+                              flush=True)
+                        continue
+                    if not args.phrase and text.startswith(":in "):
+                        # ":in <name> <query>" — filtered top-k
+                        _, name, qtext = text.split(maxsplit=2)
+                        t0 = time.perf_counter()
+                        top = server.query(qtext, args.k, filter_name=name)
+                        ms = round(1000 * (time.perf_counter() - t0), 1)
+                        print(json.dumps({
+                            "query": qtext, "filter": name, "ms": ms,
+                            "results": [{"rank": i + 1, "doc_id": d, "score": s}
+                                        for i, (d, s) in enumerate(top)],
+                        }), flush=True)
+                        continue
                     if args.phrase and text.startswith(":window "):
                         # proximity mode: minimal token window covering
                         # every query term (order-free), window ASC

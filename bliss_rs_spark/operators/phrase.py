@@ -455,8 +455,9 @@ def _phrase_topk_sources(
 
 
 def _min_window_from_sources(
-    sources: dict[str, _TermSource], terms: list[str], k: int
-) -> tuple[np.ndarray, np.ndarray] | None:
+    sources: dict[str, _TermSource], terms: list[str], k: int,
+    with_spans: bool = False,
+) -> tuple[np.ndarray, ...] | None:
     """Proximity kernel (round-5 stretch): for every doc containing ALL the
     query terms, the MINIMAL token window [a, b] covering at least one
     occurrence of each term (bag-of-words, order-free) — the classic
@@ -472,7 +473,14 @@ def _min_window_from_sources(
 
     Returns local top-k (doc_ids, min_window) ranked (window ASC, doc_id
     ASC), or None when no doc holds all terms.  Integer windows — exact
-    cross-engine comparison needs no float rounding."""
+    cross-engine comparison needs no float rounding.
+
+    ``with_spans`` additionally returns the winning window's token span
+    (start, end) — snippet/highlight extraction.  Tie-break: among equal
+    minimal windows the SMALLEST start wins, which is exactly the FIRST
+    event (ascending (doc, pos) key) achieving the doc's minimum: a
+    minimal window is tight at its right end, so start = end - w + 1 is
+    monotone in end."""
     order = sorted(terms, key=lambda t: (sources[t].mass, t))
     d0, p0 = sources[order[0]].load(None)
     if not len(d0):
@@ -527,7 +535,17 @@ def _min_window_from_sources(
     ids = cand[doc_of[starts][keep]]
     mw = minw[keep]
     top = np.lexsort((ids, mw))[:k]
-    return ids[top], mw[top].astype(np.int64)
+    if not with_spans:
+        return ids[top], mw[top].astype(np.int64)
+    # span of the winning (first-min) event per doc: index trick — replace
+    # non-min events with a sentinel index, reduceat takes the first min
+    seg_sizes = np.diff(np.append(starts, len(wlen)))
+    is_min = wlen == np.repeat(minw, seg_sizes)
+    idx = np.where(is_min, np.arange(len(wlen)), len(wlen))
+    first_idx = np.minimum.reduceat(idx, starts)[keep]
+    win_end = (key[first_idx] % m).astype(np.int64)
+    win_start = (lastmin[first_idx] % m).astype(np.int64)
+    return ids[top], mw[top].astype(np.int64), win_start[top], win_end[top]
 
 
 def min_window_match(
@@ -535,11 +553,16 @@ def min_window_match(
     positional: DataFrame,
     query_text: str,
     cfg: IndexConfig | None = None,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Batch sibling of PhraseServer.query_window: (doc_id, min_window) for
     EVERY doc containing all the query's (unique) terms — the order-free
     proximity relation, as a DataFrame for composition (filter by window,
     join with BM25 scores, aggregate...).
+
+    ``with_spans`` adds the winning window's token span (win_start,
+    win_end; ties broken smallest-start) — snippet/highlight extraction
+    over the positional index without re-reading any document.
 
     Plan shape: term-pruned scan -> one repartition by doc_id (docs
     complete per partition) -> the same vectorized smallest-covering-range
@@ -547,6 +570,8 @@ def min_window_match(
     the query terms' posting mass."""
     terms = sorted(set(tokenize_text(query_text)))
     empty_schema = "doc_id long, min_window long"
+    if with_spans:
+        empty_schema += ", win_start long, win_end long"
     if not terms:
         return spark.createDataFrame([], empty_schema)
     pruned = (
@@ -554,8 +579,10 @@ def min_window_match(
         .select("term", "doc_id", "positions")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                          "min_window": pd.Series([], dtype="int64")})
+    cols = ["doc_id", "min_window"] + (
+        ["win_start", "win_end"] if with_spans else []
+    )
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     big_k = 1 << 62
 
     def kernel(batches):
@@ -568,12 +595,11 @@ def min_window_match(
         if any(t not in src for t in terms):
             yield empty
             return
-        top = _min_window_from_sources(src, terms, big_k)
+        top = _min_window_from_sources(src, terms, big_k, with_spans=with_spans)
         if top is None:
             yield empty
             return
-        ids, mw = top
-        yield pd.DataFrame({"doc_id": ids, "min_window": mw})
+        yield pd.DataFrame(dict(zip(cols, top)))
 
     return pruned.mapInPandas(kernel, empty_schema)
 
@@ -976,7 +1002,9 @@ class PhraseServer:
         )[:k]
         return [(d, tf) for tf, d in merged]
 
-    def query_window(self, query_text: str, k: int = 10) -> list[tuple[int, int]]:
+    def query_window(
+        self, query_text: str, k: int = 10, with_spans: bool = False
+    ) -> list[tuple]:
         """Proximity ranking (round-5 stretch): -> [(doc_id, min_window)]
         for the top-k docs containing ALL the query's (unique) terms,
         ranked by the minimal token window covering one occurrence of each
@@ -984,7 +1012,11 @@ class PhraseServer:
         the order-free relaxation of the exact phrase chain.  Same
         shuffle-free one-job plan and dead-set masking as query(); exact
         (integer windows, exact driver merge; DuckDB-gated via the
-        phrase_window driver gate)."""
+        phrase_window driver gate).
+
+        ``with_spans`` -> [(doc_id, min_window, win_start, win_end)]: the
+        winning window's token span (smallest-start tie-break) — the
+        snippet/highlight anchor, straight from the positional index."""
         terms = sorted(set(tokenize_text(query_text)))
         if not terms:
             return []
@@ -992,8 +1024,11 @@ class PhraseServer:
         is_packed = self.packed
         has_stats = self._has_stats
         dead_bc = self._dead_bc
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "min_window": pd.Series([], dtype="int64")})
+        cols = ["doc_id", "min_window"] + (
+            ["win_start", "win_end"] if with_spans else []
+        )
+        schema = ", ".join(f"{c} long" for c in cols)
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
 
         def kernel(batches):
             chunks = list(batches)
@@ -1008,20 +1043,26 @@ class PhraseServer:
             if any(t not in src for t in terms):
                 yield empty  # a term absent from this partition entirely
                 return
-            top = _min_window_from_sources(src, terms, kk)
+            top = _min_window_from_sources(src, terms, kk, with_spans=with_spans)
             if top is None:
                 yield empty
                 return
-            ids, mw = top
-            yield pd.DataFrame({"doc_id": ids, "min_window": mw})
+            yield pd.DataFrame(dict(zip(cols, top)))
 
-        df = self._scan(terms).mapInPandas(
-            kernel, "doc_id long, min_window long"
-        )
+        df = self._scan(terms).mapInPandas(kernel, schema)
+        if not with_spans:
+            merged = sorted(
+                ((int(r["min_window"]), int(r["doc_id"])) for r in df.collect())
+            )[:k]
+            return [(d, w) for w, d in merged]
         merged = sorted(
-            ((int(r["min_window"]), int(r["doc_id"])) for r in df.collect())
+            (
+                (int(r["min_window"]), int(r["doc_id"]),
+                 int(r["win_start"]), int(r["win_end"]))
+                for r in df.collect()
+            )
         )[:k]
-        return [(d, w) for w, d in merged]
+        return [(d, w, s, e) for w, d, s, e in merged]
 
     def query_batch(
         self, phrases: list[tuple[int, str, int]]

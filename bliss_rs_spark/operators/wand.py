@@ -83,19 +83,52 @@ def _cached_dead_ordinals(dead_bytes: bytes, map_bytes: bytes | None) -> np.ndar
     return dd
 
 
+def _alive_mask(
+    docs: np.ndarray, dead: np.ndarray | None, allow: np.ndarray | None
+) -> np.ndarray | None:
+    """Keep-mask for one decoded block under tombstones (``dead``: sorted
+    ids to drop) and an optional metadata filter (``allow``: sorted ids to
+    KEEP — filtered serving).  Both live in the blocks' id space.  Returns
+    None when every doc survives (the overwhelmingly common case for dead-
+    only masking — a pair of searchsorted range probes answers it without
+    the O(n log n) isin)."""
+    mask = None
+    if dead is not None and len(dead):
+        lo = int(np.searchsorted(dead, docs[0]))
+        hi = int(np.searchsorted(dead, docs[-1], side="right"))
+        if hi > lo:
+            m = ~np.isin(docs, dead[lo:hi])
+            if not m.all():
+                mask = m
+    if allow is not None:
+        lo = int(np.searchsorted(allow, docs[0]))
+        hi = int(np.searchsorted(allow, docs[-1], side="right"))
+        m = (
+            np.isin(docs, allow[lo:hi])
+            if hi > lo
+            else np.zeros(len(docs), dtype=bool)
+        )
+        if not m.all():
+            mask = m if mask is None else (mask & m)
+    return mask
+
+
 class _Cursor:
     """One term's posting cursor within a shard: lazy block decode + seek.
 
     ``dead`` (sorted int64 array, same id space as the blocks) drops
     tombstoned docs at decode time — how segment-packed units exclude
-    superseded/deleted docs without rewriting old blocks.  Block metadata
-    (first/last_doc, max_tsc) stays valid: deletion only shrinks a block, so
-    bounds remain bounds and skipping stays safe."""
+    superseded/deleted docs without rewriting old blocks.  ``allow`` keeps
+    only filter-matching docs (metadata-filtered queries) the same way.
+    Block metadata (first/last_doc, max_tsc) stays valid: masking only
+    shrinks a block, so bounds remain bounds and skipping stays safe."""
 
-    __slots__ = ("blocks", "idf", "ub", "bi", "i", "docs", "tscs", "cur", "dead")
+    __slots__ = ("blocks", "idf", "ub", "bi", "i", "docs", "tscs", "cur",
+                 "dead", "allow")
 
     def __init__(self, blocks, idf: float, k1: float, b: float, avgdl: float,
-                 dead: np.ndarray | None = None):
+                 dead: np.ndarray | None = None,
+                 allow: np.ndarray | None = None):
         # blocks: list of dict-like rows (first_doc, last_doc, n, max_tsc, docs, tfs, dls)
         self.blocks = blocks
         self.idf = idf
@@ -105,13 +138,15 @@ class _Cursor:
         self.docs = None
         self.tscs = None
         self.dead = dead if dead is not None and len(dead) else None
+        self.allow = allow
         self.cur = math.inf
         if self._load(0):
             self.cur = int(self.docs[0])
 
     def _load(self, bi: int) -> bool:
-        """Decode block bi, skipping forward past blocks emptied by the dead
-        filter.  Returns False (cursor exhausted, cur=inf) if none remain."""
+        """Decode block bi, skipping forward past blocks emptied by the dead/
+        allow masks.  Returns False (cursor exhausted, cur=inf) if none
+        remain."""
         from bliss_rs_spark.functions.codec import decode_doc_ids, varbyte_decode
 
         nb = len(self.blocks)
@@ -120,15 +155,9 @@ class _Cursor:
             docs = decode_doc_ids(bl["docs"])
             tf = varbyte_decode(bl["tfs"]).astype(np.float64)
             dl = varbyte_decode(bl["dls"]).astype(np.float64)
-            if self.dead is not None:
-                # range gate: most blocks contain no dead doc — one pair of
-                # searchsorted probes skips the O(n log n) isin mask
-                lo = int(np.searchsorted(self.dead, docs[0]))
-                hi = int(np.searchsorted(self.dead, docs[-1], side="right"))
-                if hi > lo:
-                    alive = ~np.isin(docs, self.dead[lo:hi])
-                    if not alive.all():
-                        docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            alive = _alive_mask(docs, self.dead, self.allow)
+            if alive is not None:
+                docs, tf, dl = docs[alive], tf[alive], dl[alive]
             if len(docs):
                 self.bi = bi
                 self.docs = docs
@@ -203,7 +232,8 @@ class _Cursor:
 
 
 def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: float,
-                      dead: np.ndarray | None = None):
+                      dead: np.ndarray | None = None,
+                      allow: np.ndarray | None = None):
     """Vectorized single-term top-k: the doc-at-a-time loop degenerates to a
     full scan for one term, so instead score whole blocks with NumPy and
     skip any block whose upper bound is STRICTLY below the running k-th
@@ -220,15 +250,11 @@ def _single_term_topk(blocks, idf: float, k: int, k1: float, b: float, avgdl: fl
         docs = decode_doc_ids(bl["docs"])
         tf = varbyte_decode(bl["tfs"]).astype(np.float64)
         dl = varbyte_decode(bl["dls"]).astype(np.float64)
-        if dead is not None and len(dead):
-            lo = int(np.searchsorted(dead, docs[0]))
-            hi = int(np.searchsorted(dead, docs[-1], side="right"))
-            if hi > lo:
-                alive = ~np.isin(docs, dead[lo:hi])
-                if not alive.all():
-                    docs, tf, dl = docs[alive], tf[alive], dl[alive]
-                    if not len(docs):
-                        continue
+        alive = _alive_mask(docs, dead, allow)
+        if alive is not None:
+            docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            if not len(docs):
+                continue
         sc = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
         best_docs = np.concatenate([best_docs, docs])
         best_scores = np.concatenate([best_scores, sc])
@@ -252,7 +278,8 @@ DENSE_TOTAL_POSTINGS = 4096
 
 
 def _dense_shard_topk(rows, k: int, k1: float, b: float, avgdl: float,
-                      dead: np.ndarray | None = None):
+                      dead: np.ndarray | None = None,
+                      allow: np.ndarray | None = None):
     """Vectorized exact top-k for hot-term queries: decode ALL the cursors'
     blocks and accumulate scores term-by-term into a dense per-doc slot
     array.  A doc appears at most once per term, so the fancy-index `+=` has
@@ -270,15 +297,11 @@ def _dense_shard_topk(rows, k: int, k1: float, b: float, avgdl: float,
             docs = decode_doc_ids(bl["docs"])
             tf = varbyte_decode(bl["tfs"]).astype(np.float64)
             dl = varbyte_decode(bl["dls"]).astype(np.float64)
-            if dead is not None and len(dead):
-                lo = int(np.searchsorted(dead, docs[0]))
-                hi = int(np.searchsorted(dead, docs[-1], side="right"))
-                if hi > lo:
-                    alive = ~np.isin(docs, dead[lo:hi])
-                    if not alive.all():
-                        docs, tf, dl = docs[alive], tf[alive], dl[alive]
-                        if not len(docs):
-                            continue
+            alive = _alive_mask(docs, dead, allow)
+            if alive is not None:
+                docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                if not len(docs):
+                    continue
             doc_parts.append(docs)
             score_parts.append(
                 idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b / avgdl) * dl)))
@@ -298,16 +321,20 @@ def _dense_shard_topk(rows, k: int, k1: float, b: float, avgdl: float,
 
 
 def _wand_shard(rows: list[tuple[list, float]], k: int, k1: float, b: float, avgdl: float,
-                dead: np.ndarray | None = None):
+                dead: np.ndarray | None = None,
+                allow: np.ndarray | None = None):
     """rows: [(blocks, idf)] per query term present in this shard; ``dead`` =
-    sorted tombstoned ids (same id space as the blocks) to drop at decode."""
+    sorted tombstoned ids to drop at decode, ``allow`` = sorted filter ids
+    to KEEP (both in the blocks' id space)."""
     if len(rows) == 1:
-        return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl, dead)
+        return _single_term_topk(rows[0][0], rows[0][1], k, k1, b, avgdl, dead, allow)
     if sum(bl["n"] for blocks, _ in rows for bl in blocks) >= DENSE_TOTAL_POSTINGS:
-        return _dense_shard_topk(rows, k, k1, b, avgdl, dead)
+        return _dense_shard_topk(rows, k, k1, b, avgdl, dead, allow)
     _Cursor.set_params(k1, b, avgdl)
     cursors = [
-        c for c in (_Cursor(blocks, idf, k1, b, avgdl, dead) for blocks, idf in rows)
+        c for c in (
+            _Cursor(blocks, idf, k1, b, avgdl, dead, allow) for blocks, idf in rows
+        )
         if c.cur != math.inf
     ]
     heap: list[tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
@@ -498,38 +525,92 @@ def _dead_sets_df(
     )
 
 
+def _allow_sets_df(
+    allow_df: DataFrame, units: list[tuple[int, DataFrame, DataFrame | None]],
+    n_doc_shards: int,
+) -> DataFrame:
+    """(unit, shard, allow) — the metadata filter's matching doc_ids per
+    (unit, shard), encoded like dead sets and computed DISTRIBUTED over the
+    (doc_id) allow frame.  Unlike tombstones the filter is epoch-free: the
+    same allow set applies to every unit.  Shards with no matching doc get
+    NO row — in allow mode the kernel treats a missing row as
+    nothing-allowed (the complement convention of dead sets)."""
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_doc_shards))).cast("int")
+    parts = None
+    for seq, _, _ in units:
+        pp = allow_df.select(
+            F.lit(int(seq)).alias("unit"), shard_col.alias("shard"), "doc_id"
+        )
+        parts = pp if parts is None else parts.unionByName(pp)
+
+    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bliss_rs_spark.functions.codec import encode_doc_ids
+
+        return pd.DataFrame(
+            {
+                "unit": [int(pdf["unit"].iloc[0])],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "allow": [
+                    encode_doc_ids(np.unique(pdf["doc_id"].to_numpy(np.int64)))
+                ],
+            }
+        )
+
+    return parts.groupBy("unit", "shard").applyInPandas(
+        _enc, "unit int, shard int, allow binary"
+    )
+
+
 def _shard_meta_df(
-    map_u: DataFrame | None, dead_df: DataFrame | None
+    map_u: DataFrame | None,
+    dead_df: DataFrame | None,
+    allow_df: DataFrame | None = None,
 ) -> DataFrame | None:
     """Per-(unit, shard) kernel metadata frame: nullable ``doc_ids`` (the
-    ordinal doc map) + nullable ``dead`` (encoded tombstoned ids).  Both
-    sides are shard-count-sized, so the full-outer join is tiny; the result
-    rides the cogroup's meta side into each shard task."""
-    if map_u is None and dead_df is None:
+    ordinal doc map) + nullable ``dead`` (encoded tombstoned ids) +
+    nullable ``allow`` (encoded filter-match ids).  Every side is
+    shard-count-sized, so the full-outer joins are tiny; the result rides
+    the cogroup's meta side into each shard task."""
+    out = None
+    if map_u is not None:
+        out = map_u.select("unit", "shard", "doc_ids")
+    if dead_df is not None:
+        d = dead_df.select("unit", "shard", "dead")
+        out = d if out is None else out.join(d, ["unit", "shard"], "full_outer")
+    if allow_df is not None:
+        a = allow_df.select("unit", "shard", "allow")
+        out = a if out is None else out.join(a, ["unit", "shard"], "full_outer")
+    if out is None:
         return None
-    if map_u is None:
-        return dead_df.select(
-            "unit", "shard", F.lit(None).cast("binary").alias("doc_ids"), "dead"
-        )
-    m = map_u.select("unit", "shard", "doc_ids")
-    if dead_df is None:
-        return m.withColumn("dead", F.lit(None).cast("binary"))
-    return m.join(dead_df, ["unit", "shard"], "full_outer")
+    for col, typ in (("doc_ids", "binary"), ("dead", "binary"), ("allow", "binary")):
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None).cast(typ))
+    return out.select("unit", "shard", "doc_ids", "dead", "allow")
 
 
 def _meta_arrays(
     meta_pdf: pd.DataFrame, mapped: bool
-) -> tuple[np.ndarray | None, np.ndarray | None] | None:
-    """Decode a cogrouped meta slice -> (ids, dead), worker-memoized.
+) -> tuple[np.ndarray | None, np.ndarray | None, np.ndarray | None] | None:
+    """Decode a cogrouped meta slice -> (ids, dead, allow), worker-memoized.
     Returns None when a mapped unit's doc-map row is missing (defensive:
-    ordinals cannot be translated, mirror the old empty-result behavior)."""
+    ordinals cannot be translated, mirror the old empty-result behavior).
+    ``allow`` is None when no allow row rode in — in allow-ACTIVE mode the
+    caller must treat that as nothing-allowed (skip the shard)."""
     map_bytes = None
     dead_bytes = None
-    for mb, db in zip(meta_pdf["doc_ids"], meta_pdf["dead"]):
+    allow_bytes = None
+    has_allow_col = "allow" in meta_pdf.columns
+    for i in range(len(meta_pdf)):
+        mb = meta_pdf["doc_ids"].iloc[i]
+        db = meta_pdf["dead"].iloc[i]
         if mb is not None:
             map_bytes = bytes(mb)
         if db is not None:
             dead_bytes = bytes(db)
+        if has_allow_col:
+            ab = meta_pdf["allow"].iloc[i]
+            if ab is not None:
+                allow_bytes = bytes(ab)
     if mapped and map_bytes is None:
         return None
     ids = _cached_doc_map(map_bytes) if map_bytes is not None else None
@@ -538,7 +619,12 @@ def _meta_arrays(
         dead = _cached_dead_ordinals(dead_bytes, map_bytes)
         if not len(dead):
             dead = None
-    return ids, dead
+    allow = None
+    if allow_bytes is not None:
+        # same ids->(ordinals|raw) translation as dead sets; filter ids not
+        # present in this shard's map simply don't exist here
+        allow = _cached_dead_ordinals(allow_bytes, map_bytes)
+    return ids, dead, allow
 
 
 def wand_topk_units(
@@ -551,6 +637,7 @@ def wand_topk_units(
     cfg: IndexConfig | None = None,
     lang: str | None = None,
     tombstones: dict[int, int] | DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k over MULTIPLE packed units (base + segment packs).
 
@@ -564,6 +651,14 @@ def wand_topk_units(
     dropped inside the kernel at block-decode time — the driver never holds a
     structure proportional to tombstone count.  This is the query side of
     update_index(repack='segment'): no old block is ever rewritten.
+
+    ``allowed`` (a (doc_id) frame) restricts the EXACT top-k to matching
+    docs — metadata-filtered search with unchanged corpus statistics (df /
+    avgdl are corpus properties, not view properties; Lucene filter
+    semantics).  Allow sets ride the same distributed per-(unit, shard)
+    cogroup as dead sets, sized by the MATCHING side — for non-selective
+    filters (most docs match) pass the complement as extra ``tombstones``
+    instead, which sizes by the excluded side.
     """
     cfg = cfg or IndexConfig()
     terms = query_terms(query_text, lang, cfg)
@@ -594,15 +689,21 @@ def wand_topk_units(
         if tomb_df is not None
         else None
     )
-    meta = _shard_meta_df(map_u, dead_df)
+    allow_df = (
+        _allow_sets_df(allowed, units, cfg.n_doc_shards)
+        if allowed is not None
+        else None
+    )
+    allow_active = allowed is not None
+    meta = _shard_meta_df(map_u, dead_df, allow_df)
     mapped_units = frozenset(seq for seq, _, dm in units if dm is not None)
 
-    def run(pdf: pd.DataFrame, ids, dead):
+    def run(pdf: pd.DataFrame, ids, dead, allow=None):
         rows = []
         for term in sorted(pdf["term"]):
             sub = pdf[pdf["term"] == term]
             rows.append((list(sub["blocks"].iloc[0]), idfs[term]))
-        top = _wand_shard(rows, kk, k1, b, avgdl, dead=dead)
+        top = _wand_shard(rows, kk, k1, b, avgdl, dead=dead, allow=allow)
         if ids is not None:
             top = [(int(ids[d]), s) for d, s in top]
         return top
@@ -626,7 +727,11 @@ def wand_topk_units(
             dec = _meta_arrays(meta_pdf, int(key[0]) in mapped_units)
             if dec is None:
                 return pd.DataFrame({"doc_id": [], "score": []})
-            top = run(pdf, *dec)
+            ids, dead, allow = dec
+            if allow_active and (allow is None or not len(allow)):
+                # filter active but nothing in this shard matches it
+                return pd.DataFrame({"doc_id": [], "score": []})
+            top = run(pdf, ids, dead, allow)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )
@@ -731,6 +836,8 @@ class WandServer:
         # _set_tombstones), REBUILT alone on refresh when only churn changed
         self._dead_bc = None
         self._set_tombstones(tombstones)
+        # --- named metadata filters (set_filter): allow sets, same shape
+        self._filters: dict[str, tuple[DataFrame, object]] = {}
         self.single_stage = self._placement_ok()
 
     # -- construction helpers (shared with refresh) --------------------------
@@ -827,6 +934,36 @@ class WandServer:
             self._dead_bc = None
         if old is not None:
             old.unpersist()
+
+    def set_filter(self, name: str, allow_df: DataFrame) -> None:
+        """Register a named metadata filter for ``query(filter_name=...)``:
+        ``allow_df`` is a (doc_id) frame of the docs a filtered query may
+        return (e.g. doc_stats.filter(lang == 'python').select('doc_id')).
+
+        The per-(unit, shard) allow sets are computed DISTRIBUTED
+        (_allow_sets_df) and shipped once as a broadcast variable — the
+        filter is paid at registration, not per query, and the serving
+        plan stays exchange-free.  Sizing is by the MATCHING side, which is
+        the small side for the selective filters metadata filtering exists
+        for; for non-selective predicates register the complement as
+        tombstones semantics instead (see wand_topk_units).  Corpus stats
+        (idf/avgdl) are unchanged by design: Lucene filter semantics, the
+        filter restricts candidates, it does not re-weight the corpus.
+        Refresh() recomputes every registered filter against the new unit
+        set from its retained frame."""
+        self.drop_filter(name)
+        self._filters[name] = (allow_df, self._build_filter_bc(allow_df))
+
+    def drop_filter(self, name: str) -> None:
+        old = self._filters.pop(name, None)
+        if old is not None and old[1] is not None:
+            old[1].unpersist()
+
+    def _build_filter_bc(self, allow_df: DataFrame):
+        rows = _allow_sets_df(allow_df, self._units, self.cfg.n_doc_shards).collect()
+        return self.spark.sparkContext.broadcast(
+            {(int(r["unit"]), int(r["shard"])): bytes(r["allow"]) for r in rows}
+        )
 
     def _placement_ok(self, audit_units: list[int] | None = None) -> bool:
         """Belt-and-suspenders check of the one-shard-one-partition
@@ -1000,6 +1137,12 @@ class WandServer:
         self._set_tombstones(
             store.load(spark, "tombstones") if "segments" in meta else None
         )
+        # registered filters re-shard against the new unit set (doc_ids are
+        # stable across snapshots, so the retained allow frame stays valid)
+        for name, (allow_df, old_bc) in list(self._filters.items()):
+            self._filters[name] = (allow_df, self._build_filter_bc(allow_df))
+            if old_bc is not None:
+                old_bc.unpersist()
         self.single_stage = self._placement_ok(audit_units=rebuilt)
         return {"reused_units": reused, "rebuilt_units": rebuilt}
 
@@ -1037,16 +1180,35 @@ class WandServer:
             cache.popitem(last=False)
         return out
 
-    def query(self, query_text: str, k: int = 10, lang: str | None = None):
-        """-> [(doc_id, score)] exact top-k, rank-identical to wand_topk."""
+    def query(
+        self,
+        query_text: str,
+        k: int = 10,
+        lang: str | None = None,
+        filter_name: str | None = None,
+    ):
+        """-> [(doc_id, score)] exact top-k, rank-identical to wand_topk.
+        With ``filter_name`` (a filter registered via set_filter), the
+        top-k is restricted to the filter's doc set — same kernel, the
+        allow mask rides next to the dead mask."""
         terms = query_terms(query_text, lang, self.cfg)
         idfs = self._resolve_idfs(terms)
         if not idfs:
             return []
+        allow_bc = None
+        if filter_name is not None:
+            if filter_name not in self._filters:
+                raise KeyError(f"unknown filter {filter_name!r}; set_filter first")
+            allow_bc = self._filters[filter_name][1]
         if not self.single_stage:  # fallback: the exact shuffle path
             rows = wand_topk_units(
                 self.spark, self._units, self._ts, self.avgdl,
                 query_text, k, self.cfg, lang, self._tomb_df,
+                allowed=(
+                    self._filters[filter_name][0]
+                    if filter_name is not None
+                    else None
+                ),
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -1057,6 +1219,7 @@ class WandServer:
             by_us: dict[tuple[int, int], list] = {}
             maps: dict[tuple[int, int], bytes] = {}
             deads = dead_bc.value if dead_bc is not None else {}
+            allows = allow_bc.value if allow_bc is not None else None
             for pdf in batches:
                 for unit, shard, term, blocks, doc_ids in zip(
                     pdf["unit"], pdf["shard"], pdf["term"], pdf["blocks"],
@@ -1077,9 +1240,17 @@ class WandServer:
                     dead = _cached_dead_ordinals(deads[us], maps.get(us))
                     if not len(dead):
                         dead = None
+                allow = None
+                if allows is not None:
+                    ab = allows.get(us)
+                    if ab is None:
+                        continue  # filter active, nothing allowed here
+                    allow = _cached_dead_ordinals(ab, maps.get(us))
+                    if not len(allow):
+                        continue
                 top = _wand_shard(
                     [(list(blocks), idfs[t]) for t, blocks in rows],
-                    kk, k1, b, avgdl, dead=dead,
+                    kk, k1, b, avgdl, dead=dead, allow=allow,
                 )
                 for d, s in top:
                     out["doc_id"].append(int(ids[d]) if ids is not None else d)
@@ -1115,6 +1286,8 @@ class WandServer:
             f.unpersist()
         if self._dead_bc is not None:
             self._dead_bc.unpersist()
+        for name in list(self._filters):
+            self.drop_filter(name)
         self._ts.unpersist()
         for path in self._pins.values():  # release gc() pins
             try:
@@ -1169,7 +1342,7 @@ def wand_topk_batch(
     idfs = {r["term"]: float(r["idf"]) for r in idf_rows}
     k1, b = cfg.k1, cfg.b
 
-    def run_all(pdf: pd.DataFrame, ids, dead) -> pd.DataFrame:
+    def run_all(pdf: pd.DataFrame, ids, dead, allow=None) -> pd.DataFrame:
         by_term = {t: list(sub["blocks"].iloc[0]) for t, sub in pdf.groupby("term")}
         out = {"query_id": [], "doc_id": [], "score": []}
         for qid, terms in qterms.items():
@@ -1180,7 +1353,9 @@ def wand_topk_batch(
             ]
             if not rows:
                 continue
-            for doc, score in _wand_shard(rows, kmap[qid], k1, b, avgdl, dead=dead):
+            for doc, score in _wand_shard(
+                rows, kmap[qid], k1, b, avgdl, dead=dead, allow=allow
+            ):
                 out["query_id"].append(qid)
                 out["doc_id"].append(int(ids[doc]) if ids is not None else doc)
                 out["score"].append(score)

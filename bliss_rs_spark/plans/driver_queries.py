@@ -2267,6 +2267,86 @@ ORACLE_MLT = _oracle_expanded(
 )
 
 
+# --- snippet spans: the winning min-window's token span ----------------------
+
+def q_snippet_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet/highlight anchors from the positional index: for every doc
+    containing all query terms, the minimal covering window's token span
+    (smallest-start tie-break) — no document re-read
+    (operators/phrase.py:min_window_match with_spans)."""
+    from bliss_rs_spark.operators.phrase import (
+        build_positional_postings,
+        min_window_match,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    return min_window_match(spark, positional, PHRASE, CFG, with_spans=True)
+
+
+def _oracle_snippet_spans(phrase: str) -> str:
+    terms = sorted(set(phrase.split()))
+    letters = [chr(ord("a") + i) for i in range(len(terms))]
+    ctes = ",\n".join(
+        f"p{L} AS (SELECT doc_id, p FROM pos WHERE term = '{t}')"
+        for L, t in zip(letters, terms)
+    )
+    joins = f"p{letters[0]} {letters[0]} " + " ".join(
+        f"JOIN p{L} {L} USING (doc_id)" for L in letters[1:]
+    )
+    cols = ", ".join(f"{L}.p" for L in letters)
+    return f"""
+WITH tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+pos AS (SELECT doc_id, i - 1 AS p, t[i] AS term
+        FROM tarr, unnest(generate_series(1, len(t))) AS g(i)),
+{ctes},
+spans AS (
+  SELECT {letters[0]}.doc_id,
+         (greatest({cols}) - least({cols}) + 1)::bigint AS w,
+         least({cols})::bigint AS s,
+         greatest({cols})::bigint AS e
+  FROM {joins}
+),
+best AS (
+  SELECT doc_id, w AS min_window, s AS win_start, e AS win_end,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w ASC, s ASC) AS rn
+  FROM spans
+)
+SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1
+"""
+
+
+# --- metadata-filtered exact top-k (allow mask through the WAND kernel) ------
+
+FILTER_LANG = "de"
+
+
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k restricted to lang='de' docs via the per-(unit, shard)
+    allow-set path (operators/wand.py:_allow_sets_df) — Lucene filter
+    semantics: corpus stats unchanged, candidates constrained."""
+    from bliss_rs_spark.operators.pack import build_packed_index_full
+    from bliss_rs_spark.operators.wand import wand_topk_units
+
+    idx = _index(spark, sf_dir)
+    packed, doc_map = build_packed_index_full(
+        idx.postings, idx.term_stats, idx.n_docs, idx.avgdl, CFG
+    )
+    docs = _docs_adapted(spark, sf_dir)
+    allowed = docs.filter(F.col("lang") == FILTER_LANG).select("doc_id")
+    out = wand_topk_units(
+        spark, [(0, packed, doc_map)], idx.term_stats, idx.avgdl,
+        BM25_QUERY, BM25_K, CFG, allowed=allowed,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_FILTERED = ORACLE_BM25.replace(
+    "FROM scored ORDER BY",
+    f"FROM scored WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}') ORDER BY",
+)
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -2335,4 +2415,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
         "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),
         "more_like_this": (q_more_like_this, ORACLE_MLT),
+        "filtered_topk": (q_filtered_topk, ORACLE_FILTERED),
+        "snippet_spans": (q_snippet_spans, _oracle_snippet_spans(PHRASE)),
     }

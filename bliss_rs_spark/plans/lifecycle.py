@@ -1021,8 +1021,13 @@ def query_index(
     query_text: str,
     k: int = 10,
     use_wand: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
-    """Answer a query from the CURRENT snapshot (WAND or exhaustive)."""
+    """Answer a query from the CURRENT snapshot (WAND or exhaustive).
+    ``allowed`` (a (doc_id) frame) restricts the exact top-k to matching
+    docs — metadata-filtered search, Lucene filter semantics (corpus stats
+    unchanged); it always routes through the units path, whose kernel
+    carries the allow mask next to the dead sets."""
     meta = store.meta()
     cfg = store.config()
     term_stats = store.load(spark, "term_stats")
@@ -1031,10 +1036,16 @@ def query_index(
 
         units = store.packed_units(spark) if "segments" in meta else None
         has_tomb = store.has_tombstones(spark) if units is not None else False
-        if units is not None and (len(units) > 1 or has_tomb):
+        if allowed is not None and units is None:
+            # layout-1 store: treat the single pack as one unit
+            packed = store.load(spark, "packed")
+            doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None
+            units = [(0, packed, doc_map)]
+        if units is not None and (len(units) > 1 or has_tomb or allowed is not None):
             return wand_topk_units(
                 spark, units, term_stats, meta["avgdl"], query_text, k, cfg,
                 tombstones=store.tombstone_frame(spark) if has_tomb else None,
+                allowed=allowed,
             )
         packed = store.load(spark, "packed")
         doc_map = store.load(spark, "doc_map") if cfg.ordinal_docids else None

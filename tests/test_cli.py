@@ -42,12 +42,24 @@ def test_cli_lifecycle(tmp_path):
     assert q["results"][0]["rank"] == 1
 
     qfile = tmp_path / "queries.txt"
-    qfile.write_text("varbyte merge return\nblockMaxScore\n")
-    ready, r1, r2 = _run("serve", "--index", index, "--k", "5",
-                         "--queries", str(qfile))
+    qfile.write_text(
+        "varbyte merge return\n"
+        "blockMaxScore\n"
+        ":filter rustonly lang=rust\n"
+        ":in rustonly varbyte merge return\n"
+    )
+    ready, r1, r2, flt, rf = _run("serve", "--index", index, "--k", "5",
+                                  "--queries", str(qfile))
     assert ready["ready"] and ready["units"] == 1
     assert [x["doc_id"] for x in r1["results"]] == [x["doc_id"] for x in q["results"]]
     assert r1["ms"] > 0 and len(r2["results"]) >= 1
+    # filtered serving: registration ack (1/5 of 200 docs are rust), then a
+    # constrained result set that actually differs from the unfiltered run
+    assert flt["filter"] == "rustonly" and flt["n_docs"] == 40
+    assert rf["filter"] == "rustonly" and rf["results"]
+    assert {x["doc_id"] for x in rf["results"]} != {
+        x["doc_id"] for x in r1["results"]
+    }
 
     (upd,) = _run("update", "--source", corpus, "--index", index,
                   "--repack", "segment")

@@ -702,3 +702,49 @@ def test_min_window_kernel_vs_brute(spark, positional):
     finally:
         server.close()
         rowsrv.close()
+
+
+def test_min_window_spans_vs_brute(spark, positional):
+    """with_spans: the winning window's (start, end) equals the brute-force
+    minimal covering window with the smallest-start tie-break, in BOTH
+    packed and row modes and through the batch relation."""
+    from itertools import product
+
+    from bliss_rs_spark.operators.phrase import PhraseServer, min_window_match
+
+    pos, contents = positional
+
+    def brute_spans(terms):
+        out = {}
+        for doc_id, content in contents.items():
+            toks = tokenize_text(content)
+            plists = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+            if any(not p for p in plists):
+                continue
+            best = min(
+                (max(c) - min(c) + 1, min(c), max(c)) for c in product(*plists)
+            )
+            out[doc_id] = best  # (window, start, end) — min() tie-breaks on start
+        return out
+
+    server = PhraseServer(spark, pos, CFG, packed=True)
+    rowsrv = PhraseServer(spark, pos, CFG, packed=False)
+    try:
+        for q in ["posting codec", "max score block", "buffer"]:
+            terms = sorted(set(tokenize_text(q)))
+            exp_map = brute_spans(terms)
+            assert exp_map, f"vacuous query {q!r}"
+            exp = sorted((w, d, s, e) for d, (w, s, e) in exp_map.items())[:10]
+            exp = [(d, w, s, e) for w, d, s, e in exp]
+            assert server.query_window(q, 10, with_spans=True) == exp, q
+            assert rowsrv.query_window(q, 10, with_spans=True) == exp, q
+            got_rel = {
+                r["doc_id"]: (r["min_window"], r["win_start"], r["win_end"])
+                for r in min_window_match(
+                    spark, pos, q, CFG, with_spans=True
+                ).collect()
+            }
+            assert got_rel == exp_map, q
+    finally:
+        server.close()
+        rowsrv.close()
