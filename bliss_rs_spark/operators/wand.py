@@ -1307,8 +1307,11 @@ def wand_topk_batch(
     doc_map: DataFrame | None = None,
     units: list[tuple[int, DataFrame, DataFrame | None]] | None = None,
     tombstones: dict[int, int] | DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
-    """Score a whole query SET through WAND in ONE Spark job.
+    """Score a whole query SET through WAND in ONE Spark job.  ``allowed``
+    restricts every query in the set to the filter's docs (one shared
+    allow-set computation for the whole batch — see wand_topk_units).
 
     The scan is filtered once by the union of all queries' terms; each shard
     task runs the WAND kernel once per query over its slice and emits
@@ -1377,7 +1380,13 @@ def wand_topk_batch(
         if tomb_df is not None
         else None
     )
-    meta = _shard_meta_df(map_u, dead_df)
+    allow_df = (
+        _allow_sets_df(allowed, units, cfg.n_doc_shards)
+        if allowed is not None
+        else None
+    )
+    allow_active = allowed is not None
+    meta = _shard_meta_df(map_u, dead_df, allow_df)
     mapped_units = frozenset(seq for seq, _, dm in units if dm is not None)
 
     if meta is None:
@@ -1396,7 +1405,10 @@ def wand_topk_batch(
             dec = _meta_arrays(meta_pdf, int(key[0]) in mapped_units)
             if dec is None:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-            return run_all(pdf, *dec)
+            ids, dead, allow = dec
+            if allow_active and (allow is None or not len(allow)):
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            return run_all(pdf, ids, dead, allow)
 
         per_shard = (
             pruned.groupBy("unit", "shard")

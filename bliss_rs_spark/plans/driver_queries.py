@@ -2316,6 +2316,105 @@ SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1
 """
 
 
+# --- unified query-string search ----------------------------------------------
+
+SEARCH_Q = '+table merg* joi~1 -vector lang:en "fast merge"'
+SEARCH_K = 15
+
+
+def q_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query string exercising the whole grammar: MUST term, prefix +
+    fuzzy expansion (scored), MUST_NOT term, metadata filter, exact phrase
+    (operators/search.py)."""
+    from bliss_rs_spark.operators.phrase import build_positional_postings
+    from bliss_rs_spark.operators.search import search
+
+    idx = _index(spark, sf_dir)
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    out = search(
+        spark, idx.postings, idx.term_stats, idx.avgdl, SEARCH_Q, SEARCH_K,
+        CFG, doc_stats=docs.select("doc_id", "lang"), positional=positional,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_SEARCH = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::double AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x
+       ON d.doc_id = x.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                 (SELECT count(*) FROM toks)::double / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT DISTINCT term FROM (
+    SELECT 'table' AS term
+    UNION ALL SELECT term FROM df WHERE starts_with(term, 'merg')
+    UNION ALL SELECT term FROM df WHERE levenshtein(term, 'joi') <= 1
+  )
+),
+tarr AS (SELECT doc_id, {_TOKS_DD} AS t FROM documents),
+occ AS (
+  SELECT doc_id
+  FROM tarr, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE t[i] = 'fast' AND t[i+1] = 'merge'
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id, {_bm25_sum_sql()} AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scored s
+WHERE EXISTS (SELECT 1 FROM tf t WHERE t.doc_id = s.doc_id AND t.term = 'table')
+  AND NOT EXISTS (SELECT 1 FROM tf t WHERE t.doc_id = s.doc_id AND t.term = 'vector')
+  AND s.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  AND s.doc_id IN (SELECT doc_id FROM occ)
+ORDER BY score DESC, doc_id ASC LIMIT {SEARCH_K}
+"""
+
+
+# --- facet counts over the conjunctive match set ------------------------------
+
+FACET_QUERY = "hash join"
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-set facets: lang distribution of every doc containing ALL
+    query terms (operators/facets.py) — ranking-independent by design."""
+    from bliss_rs_spark.operators.facets import facet_counts
+
+    idx = _index(spark, sf_dir)
+    docs = _docs_adapted(spark, sf_dir)
+    return facet_counts(
+        spark, idx.postings, docs.select("doc_id", "lang"), FACET_QUERY, "lang", CFG
+    )
+
+
+_FACET_TERMS = "(VALUES " + ", ".join(
+    f"('{t}')" for t in sorted(set(FACET_QUERY.split()))
+) + ")"
+
+ORACLE_FACETS = f"""
+WITH {_TOKS_CTE},
+q(term) AS {_FACET_TERMS},
+m AS (
+  SELECT doc_id
+  FROM (SELECT DISTINCT doc_id, term FROM toks) dt JOIN q USING (term)
+  GROUP BY doc_id
+  HAVING count(*) = (SELECT count(*) FROM q)
+)
+SELECT d.lang, count(*)::bigint AS n_docs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang
+ORDER BY n_docs DESC, d.lang ASC
+"""
+
+
 # --- metadata-filtered exact top-k (allow mask through the WAND kernel) ------
 
 FILTER_LANG = "de"
@@ -2417,4 +2516,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "more_like_this": (q_more_like_this, ORACLE_MLT),
         "filtered_topk": (q_filtered_topk, ORACLE_FILTERED),
         "snippet_spans": (q_snippet_spans, _oracle_snippet_spans(PHRASE)),
+        "facet_counts": (q_facet_counts, ORACLE_FACETS),
+        "search_query": (q_search_query, ORACLE_SEARCH),
     }

@@ -161,3 +161,29 @@ def test_server_filter_survives_refresh(spark, corpus, tmp_path):
         assert [d for d, _ in got] == [r["doc_id"] for r in want]
     finally:
         srv.close()
+
+def test_batch_allowed_matches_per_query(spark, corpus):
+    """wand_topk_batch(allowed=...) == per-query filtered units results for
+    every query in the set."""
+    from bliss_rs_spark.operators.wand import wand_topk_batch
+
+    docs, idx, packed, doc_map = corpus
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    queries = [(1, QUERY, 10), (2, "varbyte encode merge", 5), (3, "return", 7)]
+    got = wand_topk_batch(
+        spark, packed, idx.term_stats, idx.avgdl, queries, CFG,
+        doc_map=doc_map, allowed=allowed,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert by_q, "vacuous batch"
+    for qid, text, k in queries:
+        want = wand_topk_units(
+            spark, [(0, packed, doc_map)], idx.term_stats, idx.avgdl,
+            text, k, CFG, allowed=allowed,
+        ).collect()
+        got_ids = [d for _, d in sorted(by_q.get(qid, []))]
+        assert got_ids == [r["doc_id"] for r in want], text
+        for d in got_ids:
+            assert d % 3 == 0

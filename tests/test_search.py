@@ -1,0 +1,170 @@
+"""Unified query-string search: parser unit tests + end-to-end semantics of
+every construct (must/should/not, phrase, prefix, fuzzy, field filter) vs
+hand-computed expectations on a fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.functions.tokenizer import term_counts
+from bliss_rs_spark.operators.build_index import build_index_frames
+from bliss_rs_spark.operators.phrase import build_positional_postings
+from bliss_rs_spark.operators.search import parse_query, search
+
+CFG = IndexConfig()
+
+TEXTS = [
+    "merge sort beats bubble sort on big tables",         # 0
+    "hash join and merge join walk into a table",         # 1
+    "the table scans twice under a slow filter",          # 2
+    "spark shuffles the hash partitions into sorted runs",  # 3
+    "merge merge merge conflict in the join path",        # 4
+    "a vector index answers the nearest neighbor query",  # 5
+    "mergeSort in camelCase form beats a table scan",     # 6
+]
+LANGS = ["rust", "python", "rust", "go", "python", "rust", "rust"]
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    rows = [
+        (f"r{i}", f"f{i}.txt", "c" * 40, LANGS[i], t)
+        for i, t in enumerate(TEXTS)
+    ]
+    from bliss_rs_spark.corpus import with_invariants
+
+    docs = with_invariants(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    idx = build_index_frames(docs, CFG)
+    idx.postings = idx.postings.cache()
+    idx.term_stats = idx.term_stats.cache()
+    pos = build_positional_postings(docs, CFG).cache()
+    ids = {
+        r["path"]: r["doc_id"]
+        for r in idx.doc_stats.select("path", "doc_id").collect()
+    }
+    order = [ids[f"f{i}.txt"] for i in range(len(TEXTS))]
+    return idx, pos, order
+
+
+def _hit_indexes(env_tuple, q, **kw):
+    idx, pos, order = env_tuple
+    inv = {d: i for i, d in enumerate(order)}
+    out = search(
+        idx.postings.sparkSession, idx.postings, idx.term_stats, idx.avgdl,
+        q, k=20, cfg=CFG, doc_stats=idx.doc_stats, positional=pos, **kw
+    ).collect()
+    return [inv[r["doc_id"]] for r in out]
+
+
+# --- parser -------------------------------------------------------------------
+
+def test_parse_constructs():
+    spec = parse_query('+table -vector merg* joi~1 lang:rust -"hash join" plain')
+    assert spec.terms == [("+", "table"), ("-", "vector"), ("", "plain")]
+    assert spec.prefixes == [("", "merg")]
+    assert spec.fuzzies == [("", "joi", 1)]
+    assert spec.filters == [("", "lang", "rust")]
+    assert spec.phrases == [("-", "hash join")]
+
+
+def test_parse_bare_phrase_is_must():
+    assert parse_query('"fast path"').phrases == [("+", "fast path")]
+
+
+def test_parse_fuzzy_default_dist():
+    assert parse_query("tabel~").fuzzies == [("", "tabel", 1)]
+
+
+def test_parse_degrades_gracefully():
+    spec = parse_query("weird**token :colon ~")
+    # nothing throws; odd tokens land SOMEWHERE (should-terms at worst)
+    assert isinstance(spec.terms, list)
+
+
+# --- end-to-end semantics ------------------------------------------------------
+
+def _docs_with(*needles, without=()):
+    tcs = [set(term_counts(t, None, False)) for t in TEXTS]
+    return {
+        i
+        for i, tc in enumerate(tcs)
+        if all(n in tc for n in needles) and not any(w in tc for w in without)
+    }
+
+
+def test_must_and_not(env):
+    got = set(_hit_indexes(env, "+table -slow"))
+    assert got == _docs_with("table", without=("slow",))
+    assert got, "vacuous"
+
+
+def test_should_ranks_but_does_not_constrain(env):
+    got = set(_hit_indexes(env, "+join merge"))
+    assert got == _docs_with("join")
+
+
+def test_prefix_and_fuzzy(env):
+    got = set(_hit_indexes(env, "merg*"))
+    assert got >= _docs_with("merge"), "prefix must cover exact-term docs"
+    got_f = set(_hit_indexes(env, "tabl~1"))
+    assert got_f == _docs_with("table")
+
+
+def test_field_filter(env):
+    got = set(_hit_indexes(env, "table lang:rust"))
+    assert got == {i for i in _docs_with("table") if LANGS[i] == "rust"}
+    assert got, "vacuous"
+    neg = set(_hit_indexes(env, "table -lang:rust"))
+    assert neg == {i for i in _docs_with("table") if LANGS[i] != "rust"}
+
+
+def test_phrase_must_and_not(env):
+    got = set(_hit_indexes(env, 'join "hash join"'))
+    assert got == {1}
+    neg = set(_hit_indexes(env, '+join -"hash join"'))
+    assert neg == _docs_with("join") - {1}
+
+
+def test_camelcase_must_requires_all_subterms(env):
+    # +mergeSort -> sub-terms merge AND sort both required
+    got = set(_hit_indexes(env, "+mergeSort"))
+    assert got == _docs_with("merge", "sort")
+    assert 6 in got  # the camelCase doc itself
+    assert 4 not in got  # merge without sort
+
+
+def test_expansion_overlap_does_not_double_score(env):
+    """'merge merg*' — the exact term also matches the prefix; scores must
+    equal the plain dedup'd expansion (each term scored once)."""
+    idx, pos, order = env
+    spark = idx.postings.sparkSession
+    a = search(
+        spark, idx.postings, idx.term_stats, idx.avgdl, "merge merg*",
+        k=20, cfg=CFG,
+    ).collect()
+    b = search(
+        spark, idx.postings, idx.term_stats, idx.avgdl, "merg*",
+        k=20, cfg=CFG,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+
+
+def test_requires_indices_for_constructs(env):
+    idx, pos, order = env
+    spark = idx.postings.sparkSession
+    with pytest.raises(ValueError):
+        search(spark, idx.postings, idx.term_stats, idx.avgdl, "lang:rust x", cfg=CFG)
+    with pytest.raises(ValueError):
+        search(spark, idx.postings, idx.term_stats, idx.avgdl, '"a b"', cfg=CFG)
+
+
+def test_empty_and_unknown(env):
+    assert _hit_indexes(env, "zzz_unknown_term") == []
+    assert _hit_indexes(env, "   ") == []
