@@ -118,6 +118,21 @@ def main() -> None:
         timed("quality", lambda: with_quality(docs, "content")
               .agg(F.sum("n_tokens")).collect())
 
+        # --- round-5 additions: grep tier, facets, unified search ----------
+        from bliss_rs_spark.operators.facets import facet_counts
+        from bliss_rs_spark.operators.trigram import (
+            build_trigram_index,
+            substring_search,
+        )
+
+        timed("trigram_substring", lambda: substring_search(
+            docs, build_trigram_index(docs), "fast merge"
+        ).count())
+        timed("facet_counts", lambda: facet_counts(
+            spark, idx["postings"], docs.select("doc_id", "lang"),
+            "hash join", "lang", cfg,
+        ).collect())
+
         # --- low-latency serving: warm single-query p50 through WandServer --
         server = WandServer(
             spark, packed, idx["term_stats"], idx["avgdl"], cfg, doc_map
@@ -134,6 +149,22 @@ def main() -> None:
         lat.sort()
         reps.setdefault("wand_serve_p50", []).append(lat[len(lat) // 2])
         extras["serve_single_stage"] = server.single_stage
+
+        # filtered serving: named filter registered once, then warm p50
+        server.set_filter(
+            "bench", docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        )
+        server.query("spark hash join", 10, filter_name="bench")  # warm-up
+        flat = []
+        for qtext in [
+            "window merge sort", "stream filter table", "spark hash join",
+            "return value data", "fastScanBatch",
+        ]:
+            t0 = time.perf_counter()
+            server.query(qtext, 10, filter_name="bench")
+            flat.append(time.perf_counter() - t0)
+        flat.sort()
+        reps.setdefault("filtered_serve_p50", []).append(flat[len(flat) // 2])
         server.close()
 
         # --- phrase serving: pack init + warm single-phrase p50 ------------
@@ -156,6 +187,14 @@ def main() -> None:
         plat.sort()
         reps.setdefault("phrase_serve_p50", []).append(plat[len(plat) // 2])
         pserver.close()
+
+        from bliss_rs_spark.operators.search import search
+
+        timed("search_query", lambda: search(
+            spark, idx["postings"], idx["term_stats"], idx["avgdl"],
+            '+table merg* -vector "fast merge"', 10, cfg,
+            doc_stats=docs.select("doc_id", "lang"), positional=pos,
+        ).collect())
 
         _lifecycle_stages(spark, docs, cfg, timed, extras)
 
