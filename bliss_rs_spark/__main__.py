@@ -37,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-checkpoint", action="store_true")
     b.add_argument("--positions", action="store_true",
                    help="also store positional postings (enables phrase queries)")
+    b.add_argument("--trigrams", action="store_true",
+                   help="also store trigram postings (enables grep queries)")
 
     u = sub.add_parser("update", help="incremental update from a new corpus state")
     u.add_argument("--source", required=True)
@@ -93,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="serve exact-phrase queries (PhraseServer; index "
                          "must be built with --positions)")
 
+    g = sub.add_parser("grep", help="exact substring / regex match via the "
+                       "trigram index (build with --trigrams)")
+    g.add_argument("--index", required=True)
+    g.add_argument("--source", required=True,
+                   help="documents table for the verify step (content of record)")
+    g.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
+    mx = g.add_mutually_exclusive_group(required=True)
+    mx.add_argument("--needle", default=None, help="literal substring")
+    mx.add_argument("--regex", default=None, help="regex pattern")
+    g.add_argument("--limit", type=int, default=100)
+
     st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
     st.add_argument("--index", required=True)
 
@@ -143,10 +156,14 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = load_documents(spark, args.source, args.format)
             if args.cmd == "build":
-                if args.positions:
+                if args.positions or args.trigrams:
                     from dataclasses import replace
 
-                    cfg = replace(cfg, store_positions=True)
+                    cfg = replace(
+                        cfg,
+                        store_positions=cfg.store_positions or args.positions,
+                        store_trigrams=cfg.store_trigrams or args.trigrams,
+                    )
                 name = build_full(
                     spark, docs, store, cfg, checkpoint=not args.no_checkpoint
                 )
@@ -248,6 +265,21 @@ def main(argv: list[str] | None = None) -> int:
                 if args.queries:
                     lines.close()
                 server.close()
+            return 0
+
+        if args.cmd == "grep":
+            from bliss_rs_spark.plans.lifecycle import regex_query, substring_query
+            from bliss_rs_spark.sources.documents import load_documents
+
+            docs = load_documents(spark, args.source, args.format)
+            if args.needle is not None:
+                out = substring_query(spark, store, docs, args.needle)
+                what = {"needle": args.needle}
+            else:
+                out = regex_query(spark, store, docs, args.regex)
+                what = {"regex": args.regex}
+            ids = [int(r["doc_id"]) for r in out.limit(args.limit).collect()]
+            print(json.dumps({**what, "n_shown": len(ids), "doc_ids": sorted(ids)}))
             return 0
 
         if args.cmd == "compact":

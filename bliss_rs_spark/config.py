@@ -67,6 +67,12 @@ class IndexConfig:
     # Off by default: positions roughly double index size.
     store_positions: bool = False
 
+    # Persist trigram presence postings (gram, doc_id) per segment so the
+    # store can answer exact substring / regex (grep-tier) queries.  Off by
+    # default for the same size reason; rides the segment lifecycle
+    # (tombstones, compaction, migration) like every other segment frame.
+    store_trigrams: bool = False
+
     # Tokenizer options. ``lang_tagging`` prefixes each term with "<lang>:"
     # (the graft spec's lang-tagged terms); the plain variant is the default
     # because it is mirrorable in ANSI SQL for the DuckDB oracle.

@@ -2316,6 +2316,45 @@ SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1
 """
 
 
+# --- grep through the store lifecycle -----------------------------------------
+
+def q_substring_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grep lifecycle: build a trigram-bearing store, DELETE every 5th
+    doc via a segment-mode update (tombstones only), then substring-query —
+    deleted docs must vanish through the store.load tombstone filter with
+    zero segment rewrites (plans/lifecycle.py:substring_query)."""
+    import tempfile
+
+    from dataclasses import replace
+
+    from bliss_rs_spark.plans.lifecycle import (
+        build_full,
+        substring_query,
+        update_index,
+    )
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    docs = _docs_adapted(spark, sf_dir)
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_grep_") + "/idx")
+    cfg = replace(CFG, store_trigrams=True)
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    update_index(
+        spark,
+        docs.filter(F.col("doc_id") % 5 != 0),
+        store,
+        None,
+        delete_missing=True,
+        repack="segment",
+    )
+    return substring_query(spark, store, docs, SUBSTRING_NEEDLE)
+
+
+ORACLE_SUBSTRING_CHURN = f"""
+SELECT doc_id FROM documents
+WHERE doc_id % 5 <> 0 AND contains(text, '{SUBSTRING_NEEDLE}')
+"""
+
+
 # --- unified query-string search ----------------------------------------------
 
 SEARCH_Q = '+table merg* joi~1 -vector lang:en "fast merge"'
@@ -2518,4 +2557,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "snippet_spans": (q_snippet_spans, _oracle_snippet_spans(PHRASE)),
         "facet_counts": (q_facet_counts, ORACLE_FACETS),
         "search_query": (q_search_query, ORACLE_SEARCH),
+        "substring_churn": (q_substring_churn, ORACLE_SUBSTRING_CHURN),
     }

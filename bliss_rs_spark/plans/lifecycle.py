@@ -201,6 +201,10 @@ def _write_segment_from_tokenized(
         from bliss_rs_spark.operators.phrase import build_positional_postings
 
         frames["positional"] = build_positional_postings(ok, cfg)
+    if cfg.store_trigrams:
+        from bliss_rs_spark.operators.trigram import build_trigram_index
+
+        frames["trigram"] = build_trigram_index(ok, "content")
     return store.write_segment(frames, seg_name)
 
 
@@ -1105,3 +1109,38 @@ def phrase_query(
 
     positional = store.load(spark, "positional")
     return phrase_topk(spark, positional, phrase, k, cfg)
+
+
+def _store_trigram(spark: SparkSession, store: IndexStore) -> DataFrame:
+    cfg = store.config()
+    if not cfg.store_trigrams:
+        raise ValueError(
+            "index was built without trigrams; rebuild with "
+            "IndexConfig(store_trigrams=True) to run substring/regex queries"
+        )
+    # store.load unions the live segments and applies tombstones — delta
+    # segments' grams appear, deleted docs' grams drop, same as postings
+    return store.load(spark, "trigram")
+
+
+def substring_query(
+    spark: SparkSession, store: IndexStore, docs: DataFrame, needle: str
+) -> DataFrame:
+    """grep tier from the CURRENT snapshot: trigram-AND candidates out of
+    the store (tombstone-filtered by load), exact `contains` verify against
+    the SOURCE documents frame — the index prunes, the source table is the
+    content of record (the store persists no content, like any secondary
+    index)."""
+    from bliss_rs_spark.operators.trigram import substring_search
+
+    return substring_search(docs, _store_trigram(spark, store), needle)
+
+
+def regex_query(
+    spark: SparkSession, store: IndexStore, docs: DataFrame, pattern: str
+) -> DataFrame:
+    """Regex grep from the CURRENT snapshot (required-literal pruning +
+    rlike verify; see operators/trigram.py)."""
+    from bliss_rs_spark.operators.trigram import regex_search
+
+    return regex_search(docs, _store_trigram(spark, store), pattern)

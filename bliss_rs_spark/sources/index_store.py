@@ -58,7 +58,9 @@ from pyspark.sql import functions as F
 
 from bliss_rs_spark.config import IndexConfig
 
-SEGMENT_FRAMES = ("postings", "doc_stats", "manifest", "errors", "positional")
+SEGMENT_FRAMES = (
+    "postings", "doc_stats", "manifest", "errors", "positional", "trigram"
+)
 SNAPSHOT_FRAMES = ("term_stats", "packed", "doc_map", "tombstones")
 FRAMES = SEGMENT_FRAMES + SNAPSHOT_FRAMES
 
@@ -258,6 +260,12 @@ class IndexStore:
                     df.sortWithinPartitions("term", "doc_id").write.mode(
                         "overwrite"
                     ).partitionBy("term_bucket").parquet(out)
+                elif fname == "trigram":
+                    # gram-bucket partition dirs: substring queries prune to
+                    # their grams' buckets exactly like term queries
+                    df.sortWithinPartitions("gram", "doc_id").write.mode(
+                        "overwrite"
+                    ).partitionBy("gram_bucket").parquet(out)
                 elif fname == "errors":
                     # one task guaranteed -> an empty ledger still writes a
                     # schema-bearing file
