@@ -99,7 +99,26 @@ def substring_candidates(
     grams = trigrams_of(needle)
     if not grams:
         raise ValueError("needle shorter than 3 chars has no trigrams; use a full scan")
-    hits = trigram_index.filter(F.col("gram").isin(grams))
+    # gram_bucket IN (...) prunes whole partition directories of a STORED
+    # index (the store partitions segments by gram_bucket); gram IN (...)
+    # is the row-group filter within them — same two-level pruning as the
+    # term postings path (operators/bm25.py).
+    spark = trigram_index.sparkSession
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(g,) for g in grams], "gram string")
+            .select(
+                F.pmod(F.xxhash64("gram"), F.lit(N_GRAM_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    )
+    hits = trigram_index.filter(
+        F.col("gram_bucket").isin(buckets) & F.col("gram").isin(grams)
+    )
     if max_query_grams is not None and max_query_grams < len(grams):
         rare = (
             hits.groupBy("gram")

@@ -150,7 +150,7 @@ def test_candidate_plan_pushes_gram_filter_no_content_scan(docs, tri, tmp_path):
     generation never touches document content and the gram IN-list reaches
     the parquet scan as a pushed filter."""
     p = str(tmp_path / "tri.parquet")
-    tri.write.parquet(p)
+    tri.write.partitionBy("gram_bucket").parquet(p)  # the store's layout
     stored = docs.sparkSession.read.parquet(p)
     plan = (
         substring_candidates(stored, "hash join")
@@ -160,3 +160,7 @@ def test_candidate_plan_pushes_gram_filter_no_content_scan(docs, tri, tmp_path):
     )
     assert "content" not in plan
     assert "PushedFilters: [" in plan and "In(gram" in plan
+    # gram_bucket IN (...) prunes partition DIRECTORIES of the stored index
+    assert "PartitionFilters: [" in plan and "gram_bucket" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
