@@ -124,11 +124,79 @@ def expand_prefix(term_stats: DataFrame, prefix: str) -> DataFrame:
 
 def expand_fuzzy(term_stats: DataFrame, term: str, max_dist: int = 1) -> DataFrame:
     """Vocabulary terms within ``max_dist`` Levenshtein edits of ``term``
-    -> (term, idf).  JVM levenshtein over the vocab relation; see module
-    notes for the SymSpell swap at extreme vocab sizes."""
+    -> (term, idf).  JVM levenshtein over the vocab relation; see
+    build_deletion_variants for the SymSpell swap at extreme vocab sizes."""
     return term_stats.filter(
         F.levenshtein(F.col("term"), F.lit(term)) <= F.lit(max_dist)
     ).select("term", "idf")
+
+
+def _deletion_variants_col(col: str) -> F.Column:
+    """All single-character deletions of ``col`` plus the string itself,
+    as a distinct array — pure JVM (transform over sequence + substr)."""
+    return F.expr(
+        f"array_distinct(concat(array({col}),"
+        f" transform(sequence(1, length({col})),"
+        f" i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1, length({col}))))))"
+    )
+
+
+def build_deletion_variants(
+    term_stats: DataFrame, max_dist: int = 1, max_term_len: int = 64
+) -> DataFrame:
+    """SymSpell deletion-neighborhood index: (variant, term, idf), one row
+    per (term, deletion-variant-with-<=max_dist-deletes).
+
+    The 10^12-scale fuzzy design the per-query vocab scan swaps into: built
+    ONCE (O(vocab x term_len^max_dist) rows, pure codegen), stored like any
+    postings table, and queried by an isin on the variant column — pushed
+    into the scan, never a vocabulary pass per query.  Soundness is the
+    SymSpell theorem: lev(q, t) <= d implies some <=d-deletion variant of q
+    equals some <=d-deletion variant of t; candidates are then verified with
+    the exact JVM levenshtein, so the expansion is identical to the scan
+    path (tested).  ``max_term_len`` guards the blow-up on degenerate
+    vocab entries."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    base = term_stats.filter(F.length("term") <= max_term_len).select(
+        "term", "idf"
+    )
+    v1 = base.select(
+        F.explode(_deletion_variants_col("term")).alias("variant"), "term", "idf"
+    )
+    if max_dist == 1:
+        return v1.distinct()
+    v2 = v1.select(
+        F.explode(_deletion_variants_col("variant")).alias("variant"), "term", "idf"
+    )
+    return v1.unionByName(v2).distinct()
+
+
+def _py_deletion_variants(s: str, max_dist: int) -> list[str]:
+    out = {s}
+    frontier = {s}
+    for _ in range(max_dist):
+        frontier = {
+            v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+        }
+        out |= frontier
+    return sorted(out)
+
+
+def expand_fuzzy_indexed(
+    variants: DataFrame, term: str, max_dist: int = 1
+) -> DataFrame:
+    """Fuzzy expansion via the deletion-variant index -> (term, idf), equal
+    to expand_fuzzy's scan (verified in tests).  The query's own deletion
+    variants are a tiny driver-side list; the isin filter on ``variant``
+    reaches the stored index's scan as a pushed filter."""
+    qvars = _py_deletion_variants(term, max_dist)
+    return (
+        variants.filter(F.col("variant").isin(qvars))
+        .select("term", "idf")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(term)) <= F.lit(max_dist))
+    )
 
 
 def expanded_topk(

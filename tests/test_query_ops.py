@@ -174,3 +174,50 @@ def test_more_like_this_excludes_seed(spark, idx):
     # merge/join-heavy neighbors should surface
     inv = {d: i for i, d in enumerate(idx._test_ids)}
     assert inv[ids[0]] in {0, 1}
+
+def test_symspell_index_equals_scan(spark, idx):
+    """The deletion-variant (SymSpell) fuzzy index expands EXACTLY like the
+    vocab scan, for d=1 and d=2 across assorted typos."""
+    from bliss_rs_spark.operators.query_ops import (
+        build_deletion_variants,
+        expand_fuzzy,
+        expand_fuzzy_indexed,
+    )
+
+    for d in (1, 2):
+        var = build_deletion_variants(idx.term_stats, max_dist=d).cache()
+        for q in ["jion", "merge", "tabl", "srot", "xyz", "a", "hashh"]:
+            scan = {
+                (r["term"], round(r["idf"], 12))
+                for r in expand_fuzzy(idx.term_stats, q, d).collect()
+            }
+            indexed = {
+                (r["term"], round(r["idf"], 12))
+                for r in expand_fuzzy_indexed(var, q, d).collect()
+            }
+            assert indexed == scan, (d, q)
+        var.unpersist()
+    # non-vacuity: d=2 must expand something for the transposed typo
+    var = build_deletion_variants(idx.term_stats, max_dist=2)
+    got = {r["term"] for r in expand_fuzzy_indexed(var, "jion", 2).collect()}
+    assert "join" in got
+
+
+def test_symspell_variant_pushdown(spark, idx, tmp_path):
+    """Against a STORED variants table, the query's variant isin reaches the
+    parquet scan as a pushed filter."""
+    from bliss_rs_spark.operators.query_ops import (
+        build_deletion_variants,
+        expand_fuzzy_indexed,
+    )
+
+    p = str(tmp_path / "variants.parquet")
+    build_deletion_variants(idx.term_stats, max_dist=1).write.parquet(p)
+    stored = spark.read.parquet(p)
+    plan = (
+        expand_fuzzy_indexed(stored, "jion", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(variant" in plan
