@@ -176,3 +176,44 @@ def test_stream_with_positions_serves_phrases(spark, tmp_path):
         assert server.query_window("codec posting", 10)
     finally:
         server.close()
+
+
+def test_stream_with_trigrams_serves_grep(spark, tmp_path):
+    """Streaming x grep cross-feature: every micro-batch segment carries a
+    trigram frame, so substring queries see new docs immediately and the
+    whole match set equals brute force."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.corpus import with_invariants
+    from bliss_rs_spark.plans.lifecycle import substring_query
+
+    cfg = replace(CFG, store_trigrams=True)
+    in_dir = str(tmp_path / "incoming")
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 100, seed=11)).cache()
+
+    docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0).drop(
+        "doc_id", "content_sha256"
+    ).write.parquet(in_dir + "/batch1")
+    q = stream_documents_to_index(
+        spark, in_dir + "/*", store, cfg, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    needle = "posting_block_codec"
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["doc_id"]
+            for r in substring_query(spark, store, docs, needle).collect()
+        }
+        assert got1, "vacuous after batch 1"
+        docs.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 1).drop(
+            "doc_id", "content_sha256"
+        ).write.parquet(in_dir + "/batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {
+        r["doc_id"] for r in substring_query(spark, store, docs, needle).collect()
+    }
+    want = {r["doc_id"] for r in docs.collect() if needle in r["content"]}
+    assert got2 == want and len(got2) > len(got1)
