@@ -211,10 +211,11 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps({"refreshed": True, **info}),
                               flush=True)
                         continue
-                    if not args.phrase and text.startswith(":filter "):
+                    if text.startswith(":filter "):
                         # ":filter <name> <column>=<value>" — register a
                         # named metadata filter from the store's doc_stats
-                        # (allow sets computed distributed, shipped once)
+                        # (allow sets computed distributed / broadcast once;
+                        # works in BOTH serve modes)
                         from pyspark.sql import functions as F
 
                         _, name, pred = text.split(maxsplit=2)
@@ -226,8 +227,9 @@ def main(argv: list[str] | None = None) -> int:
                                           "n_docs": allow.count()}),
                               flush=True)
                         continue
-                    if not args.phrase and text.startswith(":in "):
-                        # ":in <name> <query>" — filtered top-k
+                    if text.startswith(":in "):
+                        # ":in <name> <query>" — filtered top-k (BM25 score
+                        # or phrase_tf depending on serve mode)
                         _, name, qtext = text.split(maxsplit=2)
                         t0 = time.perf_counter()
                         top = server.query(qtext, args.k, filter_name=name)

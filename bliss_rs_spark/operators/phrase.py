@@ -402,7 +402,8 @@ def _partition_sources(
 
 
 def _phrase_topk_sources(
-    sources: dict[str, _TermSource], offsets: dict, n_terms: int, k: int
+    sources: dict[str, _TermSource], offsets: dict, n_terms: int, k: int,
+    allow: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """The vectorized phrase chain, RAREST-FIRST (round 5): each (doc,
     position) pair becomes one int64 key ``doc_idx * m + (pos - slot + n)``
@@ -421,6 +422,18 @@ def _phrase_topk_sources(
     # candidate universe = the RAREST term's docs; docs absent from it can
     # never survive the chain, so later terms drop them pre-intersection
     all_docs = np.unique(d0)
+    if allow is not None:
+        # metadata filter (sorted raw doc ids): shrink the universe up
+        # front so every later decode gate prunes on the filtered set too
+        all_docs = np.intersect1d(all_docs, allow, assume_unique=True)
+        if not len(all_docs):
+            return None
+        j = np.searchsorted(all_docs, d0)
+        ok = j < len(all_docs)
+        ok[ok] = all_docs[j[ok]] == d0[ok]
+        d0, p0 = d0[ok], p0[ok]
+        if not len(d0):
+            return None
     surv: np.ndarray | None = None
     sdocs = all_docs
     for ti, t in enumerate(order):
@@ -457,6 +470,7 @@ def _phrase_topk_sources(
 def _min_window_from_sources(
     sources: dict[str, _TermSource], terms: list[str], k: int,
     with_spans: bool = False,
+    allow: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ...] | None:
     """Proximity kernel (round-5 stretch): for every doc containing ALL the
     query terms, the MINIMAL token window [a, b] covering at least one
@@ -486,6 +500,12 @@ def _min_window_from_sources(
     if not len(d0):
         return None
     cand = np.unique(d0)
+    if allow is not None:
+        # metadata filter: every term's rows are mapped onto cand below, so
+        # shrinking cand here filters the whole window computation
+        cand = np.intersect1d(cand, allow, assume_unique=True)
+        if not len(cand):
+            return None
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {order[0]: (d0, p0)}
     for t in order[1:]:
         d, p = sources[t].load(cand)
@@ -689,6 +709,7 @@ class PhraseServer:
         self._pin: str | None = None  # gc() pin file (from_store servers)
         self._store_mode = units is not None
         self._dead_bc = None  # broadcast {(unit, shard): dead bytes}
+        self._filters: dict[str, object] = {}  # name -> broadcast id array
         self._unit_frames: dict[int, DataFrame] = {}
         self._has_stats = True
 
@@ -939,7 +960,38 @@ class PhraseServer:
             u = pf if u is None else u.unionByName(pf)
         return u
 
-    def _plan_for(self, phrase: str, k: int) -> DataFrame | None:
+    def set_filter(self, name: str, allow_df: DataFrame) -> None:
+        """Register a named metadata filter for query/query_window
+        (filter_name=...): ``allow_df`` is a (doc_id) frame of permitted
+        docs.  The phrase path uses RAW doc ids end-to-end, so one sorted
+        global id array (no per-shard keying) ships as a broadcast variable
+        — sized by the MATCHING side, paid once per registration, and
+        snapshot-independent (doc ids are stable), so refresh() keeps
+        filters as-is."""
+        ids = np.unique(
+            np.fromiter(
+                (r["doc_id"] for r in allow_df.select("doc_id").collect()),
+                dtype=np.int64,
+            )
+        )
+        self.drop_filter(name)
+        self._filters[name] = self.spark.sparkContext.broadcast(ids)
+
+    def drop_filter(self, name: str) -> None:
+        old = self._filters.pop(name, None)
+        if old is not None:
+            old.unpersist()
+
+    def _allow_bc(self, filter_name: str | None):
+        if filter_name is None:
+            return None
+        if filter_name not in self._filters:
+            raise KeyError(f"unknown filter {filter_name!r}; set_filter first")
+        return self._filters[filter_name]
+
+    def _plan_for(
+        self, phrase: str, k: int, filter_name: str | None = None
+    ) -> DataFrame | None:
         """The per-query physical plan: filter over the persisted pack(s) +
         one mapInPandas — NO exchange of the cached side (pinned by
         tests/test_plans.py).  None when the phrase tokenizes to nothing.
@@ -961,6 +1013,7 @@ class PhraseServer:
         has_stats = self._has_stats
         uniq_terms = sorted(offsets)
         dead_bc = self._dead_bc
+        allow_bc = self._allow_bc(filter_name)
 
         def kernel(batches):
             # accumulate the partition's batches: a term's rows may straddle
@@ -977,7 +1030,10 @@ class PhraseServer:
             if any(t not in src for t in offsets):
                 yield empty  # a term absent from this partition entirely
                 return
-            top = _phrase_topk_sources(src, offsets, n_terms, kk)
+            top = _phrase_topk_sources(
+                src, offsets, n_terms, kk,
+                allow=allow_bc.value if allow_bc is not None else None,
+            )
             if top is None:
                 yield empty
                 return
@@ -990,10 +1046,13 @@ class PhraseServer:
             kernel, "doc_id long, phrase_tf int"
         )
 
-    def query(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+    def query(
+        self, phrase: str, k: int = 10, filter_name: str | None = None
+    ) -> list[tuple[int, int]]:
         """-> [(doc_id, phrase_tf)] exact top-k, rank-identical to
-        phrase_topk (see _plan_for for the kernel design)."""
-        df = self._plan_for(phrase, k)
+        phrase_topk (see _plan_for for the kernel design).  ``filter_name``
+        restricts matches to a registered metadata filter's doc set."""
+        df = self._plan_for(phrase, k, filter_name)
         if df is None:
             return []
         merged = sorted(
@@ -1003,7 +1062,8 @@ class PhraseServer:
         return [(d, tf) for tf, d in merged]
 
     def query_window(
-        self, query_text: str, k: int = 10, with_spans: bool = False
+        self, query_text: str, k: int = 10, with_spans: bool = False,
+        filter_name: str | None = None,
     ) -> list[tuple]:
         """Proximity ranking (round-5 stretch): -> [(doc_id, min_window)]
         for the top-k docs containing ALL the query's (unique) terms,
@@ -1024,6 +1084,7 @@ class PhraseServer:
         is_packed = self.packed
         has_stats = self._has_stats
         dead_bc = self._dead_bc
+        allow_bc = self._allow_bc(filter_name)
         cols = ["doc_id", "min_window"] + (
             ["win_start", "win_end"] if with_spans else []
         )
@@ -1043,7 +1104,10 @@ class PhraseServer:
             if any(t not in src for t in terms):
                 yield empty  # a term absent from this partition entirely
                 return
-            top = _min_window_from_sources(src, terms, kk, with_spans=with_spans)
+            top = _min_window_from_sources(
+                src, terms, kk, with_spans=with_spans,
+                allow=allow_bc.value if allow_bc is not None else None,
+            )
             if top is None:
                 yield empty
                 return
@@ -1159,3 +1223,5 @@ class PhraseServer:
             f.unpersist()
         if self._dead_bc is not None:
             self._dead_bc.unpersist()
+        for name in list(self._filters):
+            self.drop_filter(name)

@@ -40,6 +40,7 @@ from bliss_rs_spark.session import ship_package
 
 BM25_QUERY = "spark hash join merge sort"
 BM25_K = 20
+FILTER_LANG = "de"  # metadata-filter gates (filtered_topk, phrase_filtered)
 CFG = IndexConfig()
 
 # DuckDB building blocks reused across oracle strings ------------------------
@@ -2316,6 +2317,42 @@ SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1
 """
 
 
+# --- phrase serving under a metadata filter -----------------------------------
+
+FILTERED_PHRASE = "fast merge"  # 4 'de' hits at sf0.01 — non-vacuous
+
+
+def q_phrase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search through PhraseServer with a registered metadata
+    filter (lang='de'): the allow array shrinks the candidate universe
+    inside the rarest-first kernel (operators/phrase.py)."""
+    from bliss_rs_spark.operators.phrase import (
+        PhraseServer,
+        build_positional_postings,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    server = PhraseServer(spark, positional, CFG, packed=True)
+    try:
+        server.set_filter(
+            "de", docs.filter(F.col("lang") == FILTER_LANG).select("doc_id")
+        )
+        hits = server.query(FILTERED_PHRASE, 1_000_000, filter_name="de")
+    finally:
+        server.close()
+    return spark.createDataFrame(
+        [(int(d), int(tf)) for d, tf in hits], "doc_id long, phrase_tf int"
+    )
+
+
+ORACLE_PHRASE_FILTERED = f"""
+WITH {_phrase_occ_cte(FILTERED_PHRASE)}
+SELECT doc_id, phrase_tf::int AS phrase_tf FROM occ
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
+"""
+
+
 # --- grep through the store lifecycle -----------------------------------------
 
 def q_substring_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,9 +2493,6 @@ ORDER BY n_docs DESC, d.lang ASC
 
 # --- metadata-filtered exact top-k (allow mask through the WAND kernel) ------
 
-FILTER_LANG = "de"
-
-
 def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k restricted to lang='de' docs via the per-(unit, shard)
     allow-set path (operators/wand.py:_allow_sets_df) — Lucene filter
@@ -2558,4 +2592,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "facet_counts": (q_facet_counts, ORACLE_FACETS),
         "search_query": (q_search_query, ORACLE_SEARCH),
         "substring_churn": (q_substring_churn, ORACLE_SUBSTRING_CHURN),
+        "phrase_filtered": (q_phrase_filtered, ORACLE_PHRASE_FILTERED),
     }

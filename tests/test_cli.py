@@ -84,10 +84,12 @@ def test_cli_phrase_serve(tmp_path):
     assert q["results"]  # non-vacuous: the phrase occurs in the synth corpus
     qfile = tmp_path / "queries.txt"
     qfile.write_text(
-        "posting block codec\n:window codec posting\n:refresh\nposting block codec\n"
+        "posting block codec\n:window codec posting\n:refresh\n"
+        "posting block codec\n"
+        ":filter rustonly lang=rust\n:in rustonly posting block codec\n"
     )
-    ready, r1, rw, rr, r2 = _run("serve", "--index", index, "--k", "5",
-                                 "--phrase", "--queries", str(qfile))
+    ready, r1, rw, rr, r2, flt, rf = _run("serve", "--index", index, "--k", "5",
+                                          "--phrase", "--queries", str(qfile))
     assert ready["ready"] and ready["mode"] == "phrase"
     assert [(x["doc_id"], x["score"]) for x in r1["results"]] == \
         [(x["doc_id"], x["phrase_tf"]) for x in q["results"]]
@@ -97,3 +99,6 @@ def test_cli_phrase_serve(tmp_path):
     # :refresh on an unchanged store is a no-op reuse; answers unchanged
     assert rr["refreshed"] and not rr["rebuilt_units"]
     assert r2["results"] == r1["results"]
+    # metadata filters work in phrase mode too (150 docs, 1/5 rust)
+    assert flt["filter"] == "rustonly" and flt["n_docs"] == 30
+    assert rf["filter"] == "rustonly"

@@ -187,3 +187,41 @@ def test_batch_allowed_matches_per_query(spark, corpus):
         assert got_ids == [r["doc_id"] for r in want], text
         for d in got_ids:
             assert d % 3 == 0
+
+
+def test_phrase_server_named_filter(spark, corpus):
+    """PhraseServer filters: query/query_window restricted to the allow set,
+    equal to post-filtering the unfiltered full result; unknown name raises;
+    composition with dead sets comes free (same kernels)."""
+    from bliss_rs_spark.operators.phrase import PhraseServer, build_positional_postings
+
+    docs, _, _, _ = corpus
+    pos = build_positional_postings(docs, CFG)
+    srv = PhraseServer(spark, pos, CFG, packed=True)
+    try:
+        allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+        srv.set_filter("thirds", allowed)
+        phrase = "posting block codec"
+        full = srv.query(phrase, 1_000_000)
+        want = [(d, tf) for d, tf in full if d % 3 == 0]
+        got = srv.query(phrase, 1_000_000, filter_name="thirds")
+        assert got == sorted(want, key=lambda x: (-x[1], x[0]))
+        assert got and len(got) < len(full), "vacuous filter"
+        # proximity path
+        fullw = srv.query_window("codec posting", 1_000_000)
+        wantw = sorted((w, d) for d, w in fullw if d % 3 == 0)
+        gotw = srv.query_window("codec posting", 1_000_000, filter_name="thirds")
+        assert gotw == [(d, w) for w, d in wantw]
+        assert gotw and len(gotw) < len(fullw)
+        # spans ride the filter too
+        gots = srv.query_window(
+            "codec posting", 10, with_spans=True, filter_name="thirds"
+        )
+        assert gots and all(d % 3 == 0 for d, _, _, _ in gots)
+        with pytest.raises(KeyError):
+            srv.query(phrase, 5, filter_name="nope")
+        srv.drop_filter("thirds")
+        with pytest.raises(KeyError):
+            srv.query(phrase, 5, filter_name="thirds")
+    finally:
+        srv.close()
