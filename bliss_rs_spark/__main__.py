@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="serve exact-phrase queries (PhraseServer; index "
                          "must be built with --positions)")
 
+    se = sub.add_parser("search", help="unified query-string search: "
+                        '+must -not should "phrase" pref* term~N field:val')
+    se.add_argument("--index", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("--k", type=int, default=10)
+
     g = sub.add_parser("grep", help="exact substring / regex match via the "
                        "trigram index (build with --trigrams)")
     g.add_argument("--index", required=True)
@@ -267,6 +273,20 @@ def main(argv: list[str] | None = None) -> int:
                 if args.queries:
                     lines.close()
                 server.close()
+            return 0
+
+        if args.cmd == "search":
+            from bliss_rs_spark.plans.lifecycle import search_index
+
+            out = search_index(spark, store, args.query, args.k).collect()
+            print(json.dumps({
+                "query": args.query,
+                "results": [
+                    {"rank": i + 1, "doc_id": int(r["doc_id"]),
+                     "score": float(r["score"])}
+                    for i, r in enumerate(out)
+                ],
+            }))
             return 0
 
         if args.cmd == "grep":

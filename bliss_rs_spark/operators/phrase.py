@@ -624,6 +624,30 @@ def min_window_match(
     return pruned.mapInPandas(kernel, empty_schema)
 
 
+def attach_snippet_text(
+    spans: DataFrame, docs: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Materialize snippet STRINGS from min-window spans: join the spans
+    relation (doc_id, min_window, win_start, win_end — from
+    min_window_match(with_spans=True)) back to the documents and slice the
+    analyzed token stream JVM-side (tokenize_sql_spark is the tested SQL
+    mirror of the analyzer, so span positions line up exactly).  One
+    match-set-sized equi-join + pure column expressions — no Python, no
+    second content pass beyond the join."""
+    toks = F.expr(tokenize_sql_spark(content_col))
+    return (
+        spans.join(docs.select("doc_id", content_col), "doc_id")
+        .withColumn(
+            "snippet",
+            F.array_join(
+                F.slice(toks, F.col("win_start") + F.lit(1), F.col("min_window")),
+                " ",
+            ),
+        )
+        .drop(content_col)
+    )
+
+
 def _ensure_pos_unit_cache(spark, store, key: str, src_dir: str, cfg) -> str:
     """Pack one unit's positional rows into the store's derived cache
     (``<store>/derived/pos_units/<key>``) if not already there; returns the

@@ -275,6 +275,25 @@ def fuzzy_topk(
     )
 
 
+def suggest_terms(
+    term_stats: DataFrame, term: str, k: int = 5, max_dist: int = 2
+) -> DataFrame:
+    """"Did you mean": vocabulary terms near ``term``, ranked by
+    (edit distance ASC, df DESC, term ASC) -> (term, dist, df).
+
+    The zero-hit fallback every search box needs.  Distributed vocab
+    filter + one top-k; swap in the deletion-variant table
+    (build_deletion_variants) for the indexed variant at extreme vocab."""
+    d = F.levenshtein(F.col("term"), F.lit(term))
+    return (
+        term_stats.filter(d <= F.lit(max_dist))
+        .filter(F.col("term") != F.lit(term))
+        .select("term", d.alias("dist"), "df")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     postings: DataFrame,

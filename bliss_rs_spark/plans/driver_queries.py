@@ -2317,6 +2317,61 @@ SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1
 """
 
 
+# --- did-you-mean term suggestions ---------------------------------------------
+
+SUGGEST_TYPO, SUGGEST_K = "sot", 5  # -> sort(1), row(2), slow(2): exercises all 3 rank keys
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-hit fallback: vocab terms near the typo ranked (dist ASC,
+    df DESC, term ASC) — operators/query_ops.py:suggest_terms."""
+    from bliss_rs_spark.operators.query_ops import suggest_terms
+
+    idx = _index(spark, sf_dir)
+    out = suggest_terms(idx.term_stats, SUGGEST_TYPO, SUGGEST_K)
+    return out.select("term", "dist", F.col("df").cast("long").alias("df"))
+
+
+ORACLE_SUGGEST = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
+SELECT term, levenshtein(term, '{SUGGEST_TYPO}')::int AS dist, df
+FROM df
+WHERE levenshtein(term, '{SUGGEST_TYPO}') <= 2 AND term <> '{SUGGEST_TYPO}'
+ORDER BY dist ASC, df DESC, term ASC LIMIT {SUGGEST_K}
+"""
+
+
+# --- snippet text materialization ----------------------------------------------
+
+def q_snippet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet STRINGS: min-window spans joined back to documents, token
+    stream sliced JVM-side (operators/phrase.py:attach_snippet_text)."""
+    from bliss_rs_spark.operators.phrase import (
+        attach_snippet_text,
+        build_positional_postings,
+        min_window_match,
+    )
+
+    docs = _docs_adapted(spark, sf_dir)
+    positional = build_positional_postings(docs, CFG)
+    spans = min_window_match(spark, positional, PHRASE, CFG, with_spans=True)
+    return attach_snippet_text(spans, docs).select(
+        "doc_id", "min_window", "win_start", "snippet"
+    )
+
+
+def _oracle_snippet_text(phrase: str) -> str:
+    base = _oracle_snippet_spans(phrase)
+    return base.replace(
+        "SELECT doc_id, min_window, win_start, win_end FROM best WHERE rn = 1",
+        """SELECT b.doc_id, b.min_window, b.win_start,
+       array_to_string(t[b.win_start + 1 : b.win_start + b.min_window], ' ') AS snippet
+FROM best b JOIN tarr USING (doc_id) WHERE rn = 1""",
+    )
+
+
 # --- phrase serving under a metadata filter -----------------------------------
 
 FILTERED_PHRASE = "fast merge"  # 4 'de' hits at sf0.01 — non-vacuous
@@ -2593,4 +2648,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "search_query": (q_search_query, ORACLE_SEARCH),
         "substring_churn": (q_substring_churn, ORACLE_SUBSTRING_CHURN),
         "phrase_filtered": (q_phrase_filtered, ORACLE_PHRASE_FILTERED),
+        "suggest_terms": (q_suggest_terms, ORACLE_SUGGEST),
+        "snippet_text": (q_snippet_text, _oracle_snippet_text(PHRASE)),
     }

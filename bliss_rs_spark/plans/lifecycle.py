@@ -1067,10 +1067,12 @@ def query_index_batch(
     spark: SparkSession,
     store: IndexStore,
     queries: list[tuple[int, str, int]],
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Answer a whole query set from the CURRENT snapshot in ONE Spark job
     (WAND batch kernel), units- and tombstone-aware.  Returns
-    (query_id, rank, doc_id, score)."""
+    (query_id, rank, doc_id, score).  ``allowed`` restricts every query in
+    the set to the filter's docs (one shared allow-set computation)."""
     from bliss_rs_spark.operators.wand import wand_topk_batch
 
     meta = store.meta()
@@ -1088,6 +1090,7 @@ def query_index_batch(
         tombstones=(
             store.tombstone_frame(spark) if store.has_tombstones(spark) else None
         ),
+        allowed=allowed,
     )
 
 
@@ -1144,3 +1147,39 @@ def regex_query(
     from bliss_rs_spark.operators.trigram import regex_search
 
     return regex_search(docs, _store_trigram(spark, store), pattern)
+
+
+def search_index(
+    spark: SparkSession, store: IndexStore, query_string: str, k: int = 10
+) -> DataFrame:
+    """Unified query-string search against the CURRENT snapshot: the whole
+    grammar (+must -not should \"phrase\" pref* term~N field:val) over the
+    store's live frames.  Field filters resolve against doc_stats; phrases
+    need a store built with store_positions (ValueError otherwise, raised
+    by search()).  All frames come through store.load, so tombstones and
+    delta segments apply uniformly."""
+    from bliss_rs_spark.operators.search import parse_query, search
+
+    meta = store.meta()
+    cfg = store.config()
+    spec = parse_query(query_string)
+    positional = None
+    if spec.phrases:
+        if not cfg.store_positions:
+            raise ValueError(
+                "query has phrases but the index was built without "
+                "store_positions"
+            )
+        positional = store.load(spark, "positional")
+    doc_stats = store.load(spark, "doc_stats") if spec.filters else None
+    return search(
+        spark,
+        store.load(spark, "postings"),
+        store.load(spark, "term_stats"),
+        meta["avgdl"],
+        query_string,
+        k,
+        cfg,
+        doc_stats=doc_stats,
+        positional=positional,
+    )

@@ -61,6 +61,10 @@ def test_cli_lifecycle(tmp_path):
         x["doc_id"] for x in r1["results"]
     }
 
+    (srch,) = _run("search", "--index", index,
+                   "--query", "+varbyte merg* -zzznope", "--k", "5")
+    assert srch["results"] and srch["results"][0]["rank"] == 1
+
     (upd,) = _run("update", "--source", corpus, "--index", index,
                   "--repack", "segment")
     assert upd["docs_processed"] == 0 and upd["repack_mode"] == "segment"

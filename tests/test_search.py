@@ -168,3 +168,66 @@ def test_requires_indices_for_constructs(env):
 def test_empty_and_unknown(env):
     assert _hit_indexes(env, "zzz_unknown_term") == []
     assert _hit_indexes(env, "   ") == []
+
+def test_search_through_store_with_churn(spark, tmp_path):
+    """search_index: the unified grammar against a LIVE store after a
+    delete update — results exclude tombstoned docs and agree with the
+    independent boolean_topk + metadata-join composition over the same
+    store frames."""
+    from bliss_rs_spark.corpus import synth_documents, with_invariants
+    from bliss_rs_spark.operators.query_ops import boolean_topk
+    from bliss_rs_spark.plans.lifecycle import build_full, search_index, update_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    cfg = IndexConfig(store_positions=True)
+    docs = with_invariants(synth_documents(spark, 120, seed=3)).cache()
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, docs, store, cfg, checkpoint=False)
+    update_index(
+        spark,
+        docs.filter(F.col("doc_id") % 4 != 0),
+        store,
+        None,
+        delete_missing=True,
+        repack="segment",
+    )
+
+    got = search_index(spark, store, "+posting -codec lang:rust", k=50).collect()
+    assert got, "vacuous"
+    live_rust = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 4 != 0) & (F.col("lang") == "rust")
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} <= live_rust
+
+    # independent composition: boolean_topk over the SAME live frames + join
+    meta = store.meta()
+    postings = store.load(spark, "postings")
+    term_stats = store.load(spark, "term_stats")
+    want = (
+        boolean_topk(
+            spark, postings, term_stats, meta["avgdl"],
+            must="posting", must_not="codec", k=1_000_000, cfg=store.config(),
+        )
+        .join(store.load(spark, "doc_stats").filter(F.col("lang") == "rust")
+              .select("doc_id"), "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+    # phrase constraint through the store positional frame
+    got_p = search_index(spark, store, '"posting block" lang:rust', k=50).collect()
+    for r in got_p:
+        assert r["doc_id"] in live_rust
+
+    # no positions stored -> clear error
+    store2 = IndexStore(str(tmp_path / "idx2"))
+    build_full(spark, docs, store2, IndexConfig(), checkpoint=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        search_index(spark, store2, '"a b"')
