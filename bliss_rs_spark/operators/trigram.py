@@ -40,6 +40,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -195,6 +197,12 @@ def regex_required_literals(pattern: str) -> list[str]:
     does not fully understand (full-scan fallback) — it only ever
     UNDER-claims, so pruning with the result is always sound.
     """
+    # inline flags ((?i), (?im:...), ...) change how OTHER literals match —
+    # a case-insensitive pattern's extracted literals would prune away
+    # legitimate matches.  Bail on any "(?" construct that is not a plain
+    # non-capturing group / lookaround / named group.
+    if re.search(r"\(\?[^:=!P<]", pattern):
+        return []
     literals: list[str] = []
     run: list[str] = []
     stack: list[str] = []  # open group '(' / char-class '['

@@ -164,3 +164,34 @@ def test_candidate_plan_pushes_gram_filter_no_content_scan(docs, tri, tmp_path):
     assert "PartitionFilters: [" in plan and "gram_bucket" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0]
+
+
+@pytest.mark.parametrize(
+    "pattern,matches",
+    [
+        ("(?i)hello world", ["HELLO WORLD", "Hello World"]),
+        ("(?im:hash) join", ["HASH join"]),
+    ],
+)
+def test_inline_flags_bail_to_full_scan(pattern, matches):
+    """Inline regex flags make extracted literals case-blind — pruning with
+    them would FALSE-NEGATIVE; the extractor must claim nothing."""
+    assert regex_required_literals(pattern) == []
+    for m in matches:
+        assert re.search(pattern, m)  # the flag really does change matching
+
+
+def test_lookaround_and_noncapturing_still_extract():
+    assert regex_required_literals("(?:hash|merge) join") == [" join"]
+    assert regex_required_literals("hello (?=world)") == ["hello "]
+
+
+def test_regex_search_with_inline_flag_exact(docs, tri):
+    """End-to-end: a case-insensitive pattern must hit docs whose case
+    differs from the pattern's literals (doc 2 has 'HelloWorld')."""
+    got = sorted(
+        r["doc_id"] for r in regex_search(docs, tri, "(?i)helloworld").collect()
+    )
+    want = sorted(i for i, s in DOCS if re.search("(?i)helloworld", s))
+    assert got == want
+    assert 2 in got, "vacuous: the case-divergent doc must match"
