@@ -217,6 +217,25 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps({"refreshed": True, **info}),
                               flush=True)
                         continue
+                    if text.startswith(":suggest "):
+                        # ":suggest <typo>" — did-you-mean over the live vocab
+                        from bliss_rs_spark.operators.query_ops import (
+                            suggest_terms,
+                        )
+
+                        typo = text[len(":suggest "):].strip()
+                        rows = suggest_terms(
+                            store.load(spark, "term_stats"), typo
+                        ).collect()
+                        print(json.dumps({
+                            "suggest": typo,
+                            "terms": [
+                                {"term": r["term"], "dist": int(r["dist"]),
+                                 "df": int(r["df"])}
+                                for r in rows
+                            ],
+                        }), flush=True)
+                        continue
                     if text.startswith(":filter "):
                         # ":filter <name> <column>=<value>" — register a
                         # named metadata filter from the store's doc_stats

@@ -62,7 +62,9 @@ def trigrams_of(s: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)})
 
 
-def build_trigram_index(docs: DataFrame, content_col: str = "content") -> DataFrame:
+def build_trigram_index(
+    docs: DataFrame, content_col: str = "content", lowercase: bool = False
+) -> DataFrame:
     """documents -> (gram, gram_bucket, doc_id) presence postings.
 
     Pure JVM: ``transform(sequence(...))`` materializes the per-row window
@@ -70,13 +72,20 @@ def build_trigram_index(docs: DataFrame, content_col: str = "content") -> DataFr
     ``explode`` flattens.  Memory per row is ~3x content size transiently;
     at 100 TB that is governed by spark.sql.files.maxPartitionBytes exactly
     like every other content-width stage (tokenize has the same profile).
+
+    ``lowercase`` folds grams (Zoekt's layout): ONE index then serves both
+    case-sensitive (candidates stay a superset — a raw occurrence implies
+    its folded grams — verify is exact either way) and case-insensitive
+    queries (pass case_insensitive=True + index_lowercased=True to
+    substring_search).
     """
+    src = f"lower({content_col})" if lowercase else content_col
     # NB: Spark's sequence(1, 0) counts DOWN; the length guard keeps
     # sub-trigram docs from emitting bogus windows.
     grams = F.expr(
         f"CASE WHEN length({content_col}) >= 3 THEN"
         f" array_distinct(transform(sequence(1, length({content_col}) - 2),"
-        f" i -> substring({content_col}, i, 3)))"
+        f" i -> substring({src}, i, 3)))"
         f" ELSE array() END"
     )
     return docs.select(
@@ -146,17 +155,33 @@ def substring_search(
     needle: str,
     content_col: str = "content",
     max_query_grams: int | None = None,
+    case_insensitive: bool = False,
+    index_lowercased: bool = False,
 ) -> DataFrame:
-    """Exact substring match: trigram-AND candidates, then verify.
+    """Substring match: trigram-AND candidates, then verify.
 
-    Returns (doc_id) of documents whose content contains ``needle``
-    byte-for-byte.  Needles under 3 chars fall back to the full scan the
-    trigram index cannot prune (documented grep behavior, not an error).
-    """
-    verify = F.col(content_col).contains(F.lit(needle))
+    Returns (doc_id) of documents whose content contains ``needle`` —
+    byte-for-byte by default, case-folded with ``case_insensitive=True``
+    (grep -i; requires an index built with lowercase=True, because a
+    raw-gram index cannot produce candidates for case-divergent matches).
+    ``index_lowercased`` declares the index layout: with it, even
+    case-SENSITIVE queries fold the needle for candidate generation (still
+    a superset — raw presence implies folded grams) and verify raw.
+    Needles under 3 chars fall back to the full scan the trigram index
+    cannot prune (documented grep behavior, not an error)."""
+    if case_insensitive and not index_lowercased:
+        raise ValueError(
+            "case-insensitive search needs a lowercase-built trigram index "
+            "(build_trigram_index(..., lowercase=True))"
+        )
+    if case_insensitive:
+        verify = F.lower(F.col(content_col)).contains(F.lit(needle.lower()))
+    else:
+        verify = F.col(content_col).contains(F.lit(needle))
+    probe = needle.lower() if index_lowercased else needle
     if len(needle) < 3:
         return docs.filter(verify).select("doc_id")
-    cand = substring_candidates(trigram_index, needle, max_query_grams)
+    cand = substring_candidates(trigram_index, probe, max_query_grams)
     return (
         docs.join(F.broadcast(cand), "doc_id", "left_semi")
         .filter(verify)

@@ -47,9 +47,10 @@ def test_cli_lifecycle(tmp_path):
         "blockMaxScore\n"
         ":filter rustonly lang=rust\n"
         ":in rustonly varbyte merge return\n"
+        ":suggest varbite\n"
     )
-    ready, r1, r2, flt, rf = _run("serve", "--index", index, "--k", "5",
-                                  "--queries", str(qfile))
+    ready, r1, r2, flt, rf, sg = _run("serve", "--index", index, "--k", "5",
+                                      "--queries", str(qfile))
     assert ready["ready"] and ready["units"] == 1
     assert [x["doc_id"] for x in r1["results"]] == [x["doc_id"] for x in q["results"]]
     assert r1["ms"] > 0 and len(r2["results"]) >= 1
@@ -60,6 +61,9 @@ def test_cli_lifecycle(tmp_path):
     assert {x["doc_id"] for x in rf["results"]} != {
         x["doc_id"] for x in r1["results"]
     }
+    # did-you-mean over the live vocab
+    assert sg["suggest"] == "varbite"
+    assert any(t["term"] == "varbyte" for t in sg["terms"])
 
     (srch,) = _run("search", "--index", index,
                    "--query", "+varbyte merg* -zzznope", "--k", "5")

@@ -195,3 +195,35 @@ def test_regex_search_with_inline_flag_exact(docs, tri):
     want = sorted(i for i, s in DOCS if re.search("(?i)helloworld", s))
     assert got == want
     assert 2 in got, "vacuous: the case-divergent doc must match"
+
+
+def test_case_insensitive_over_folded_index(docs, spark):
+    """Zoekt layout: ONE lowercase-built index serves -i queries exactly
+    AND keeps case-sensitive queries exact (superset candidates, raw
+    verify)."""
+    folded = build_trigram_index(docs, lowercase=True).cache()
+    # -i finds the camelCase doc a raw search misses
+    got_i = sorted(
+        r["doc_id"]
+        for r in substring_search(
+            docs, folded, "helloworld",
+            case_insensitive=True, index_lowercased=True,
+        ).collect()
+    )
+    assert got_i == sorted(i for i, s in DOCS if "helloworld" in s.lower())
+    assert 2 in got_i, "vacuous: needs the case-divergent doc"
+    # case-SENSITIVE over the same folded index stays exact
+    for needle in ["hello world", "HelloWorld", "hash join"]:
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search(
+                docs, folded, needle, index_lowercased=True
+            ).collect()
+        )
+        assert got == sorted(i for i, s in DOCS if needle in s), needle
+    # -i over a RAW index is refused (would false-negative silently)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lowercase"):
+        substring_search(docs, folded, "x", case_insensitive=True)
+    folded.unpersist()
