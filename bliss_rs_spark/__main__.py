@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     mx = g.add_mutually_exclusive_group(required=True)
     mx.add_argument("--needle", default=None, help="literal substring")
     mx.add_argument("--regex", default=None, help="regex pattern")
+    g.add_argument("-i", "--ignore-case", action="store_true",
+                   help="case-insensitive substring match (needle mode)")
     g.add_argument("--limit", type=int, default=100)
 
     st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
@@ -314,8 +316,11 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = load_documents(spark, args.source, args.format)
             if args.needle is not None:
-                out = substring_query(spark, store, docs, args.needle)
-                what = {"needle": args.needle}
+                out = substring_query(
+                    spark, store, docs, args.needle,
+                    case_insensitive=args.ignore_case,
+                )
+                what = {"needle": args.needle, "ignore_case": args.ignore_case}
             else:
                 out = regex_query(spark, store, docs, args.regex)
                 what = {"regex": args.regex}

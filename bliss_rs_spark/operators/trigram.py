@@ -320,19 +320,24 @@ def regex_search(
     pattern: str,
     content_col: str = "content",
     max_query_grams: int | None = None,
+    index_lowercased: bool = False,
 ) -> DataFrame:
     """Regex match over content, trigram-pruned when the pattern allows.
 
     The final `rlike` verify is always exact; the trigram AND on the
     longest required literal (when one >= 3 chars exists) just shrinks the
     verified set.  Patterns with no usable literal degrade to the full
-    scan — same contract as grep over an unindexed tree.
+    scan — same contract as grep over an unindexed tree.  Over a folded
+    index (``index_lowercased``) the anchor literal probes lowercased —
+    still a superset, since a raw occurrence implies its folded grams.
     """
     verify = F.col(content_col).rlike(pattern)
     lits = [lit for lit in regex_required_literals(pattern) if len(lit) >= 3]
     if not lits:
         return docs.filter(verify).select("doc_id")
     anchor = max(lits, key=len)
+    if index_lowercased:
+        anchor = anchor.lower()
     cand = substring_candidates(trigram_index, anchor, max_query_grams)
     return (
         docs.join(F.broadcast(cand), "doc_id", "left_semi")

@@ -204,7 +204,9 @@ def _write_segment_from_tokenized(
     if cfg.store_trigrams:
         from bliss_rs_spark.operators.trigram import build_trigram_index
 
-        frames["trigram"] = build_trigram_index(ok, "content")
+        # folded layout (Zoekt): one index serves case-sensitive (exact —
+        # folded candidates are a superset, verify stays raw) AND grep -i
+        frames["trigram"] = build_trigram_index(ok, "content", lowercase=True)
     return store.write_segment(frames, seg_name)
 
 
@@ -1127,26 +1129,37 @@ def _store_trigram(spark: SparkSession, store: IndexStore) -> DataFrame:
 
 
 def substring_query(
-    spark: SparkSession, store: IndexStore, docs: DataFrame, needle: str
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    needle: str,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """grep tier from the CURRENT snapshot: trigram-AND candidates out of
     the store (tombstone-filtered by load), exact `contains` verify against
     the SOURCE documents frame — the index prunes, the source table is the
     content of record (the store persists no content, like any secondary
-    index)."""
+    index).  The store's trigram layout is case-FOLDED, so
+    ``case_insensitive`` (grep -i) rides the same frame."""
     from bliss_rs_spark.operators.trigram import substring_search
 
-    return substring_search(docs, _store_trigram(spark, store), needle)
+    return substring_search(
+        docs, _store_trigram(spark, store), needle,
+        case_insensitive=case_insensitive, index_lowercased=True,
+    )
 
 
 def regex_query(
     spark: SparkSession, store: IndexStore, docs: DataFrame, pattern: str
 ) -> DataFrame:
     """Regex grep from the CURRENT snapshot (required-literal pruning +
-    rlike verify; see operators/trigram.py)."""
+    rlike verify; see operators/trigram.py; anchor probes folded to match
+    the store's layout)."""
     from bliss_rs_spark.operators.trigram import regex_search
 
-    return regex_search(docs, _store_trigram(spark, store), pattern)
+    return regex_search(
+        docs, _store_trigram(spark, store), pattern, index_lowercased=True
+    )
 
 
 def search_index(

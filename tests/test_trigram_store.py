@@ -80,3 +80,24 @@ def test_missing_trigrams_raises(spark, docs, tmp_path):
     build_full(spark, docs, store, IndexConfig(), checkpoint=False)
     with pytest.raises(ValueError, match="store_trigrams"):
         substring_query(spark, store, docs, NEEDLE)
+
+def test_store_grep_ignore_case(spark, docs, tmp_path):
+    """The store's folded trigram layout serves grep -i: a lowercased
+    needle finds the camelCase occurrences a raw search misses."""
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    raw = {
+        r["doc_id"]
+        for r in substring_query(spark, store, docs, "blockmaxscore").collect()
+    }
+    folded = {
+        r["doc_id"]
+        for r in substring_query(
+            spark, store, docs, "blockmaxscore", case_insensitive=True
+        ).collect()
+    }
+    want = {
+        r["doc_id"] for r in docs.collect() if "blockmaxscore" in r["content"].lower()
+    }
+    assert folded == want and folded, "vacuous"
+    assert raw < folded  # raw misses the camelCase docs
