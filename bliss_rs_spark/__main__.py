@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--k", type=int, default=10)
     sv.add_argument("--queries", default=None,
                     help="file with one query per line (default: stdin)")
+    sv.add_argument("--grep", action="store_true",
+                    help="serve warm substring matches (TrigramServer) — "
+                    "needs --source for the verify step")
+    sv.add_argument("--source", default=None,
+                    help="documents table (grep mode verify)")
+    sv.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"])
     sv.add_argument("--phrase", action="store_true",
                     help="serve exact-phrase queries (PhraseServer; index "
                          "must be built with --positions)")
@@ -194,6 +200,46 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "serve":
             import time
 
+            if args.grep:
+                from bliss_rs_spark.operators.trigram import TrigramServer
+                from bliss_rs_spark.sources.documents import load_documents
+
+                if not args.source:
+                    raise SystemExit("serve --grep needs --source")
+                gdocs = load_documents(spark, args.source, args.format)
+                if "doc_id" not in gdocs.columns:
+                    from bliss_rs_spark.corpus import with_invariants
+
+                    gdocs = with_invariants(gdocs)
+                server = TrigramServer(
+                    spark,
+                    store.load(spark, "trigram"),
+                    gdocs,
+                    n_doc_shards=store.config().n_doc_shards,
+                    index_lowercased=True,  # the store's folded layout
+                )
+                print(json.dumps({"ready": True, "mode": "grep"}), flush=True)
+                lines = open(args.queries) if args.queries else sys.stdin
+                try:
+                    for line in lines:
+                        text = line.strip()
+                        if not text:
+                            continue
+                        ci = text.startswith("-i ")
+                        needle = text[3:] if ci else text
+                        t0 = time.perf_counter()
+                        ids = server.grep(needle, case_insensitive=ci,
+                                          limit=args.k)
+                        ms = round(1000 * (time.perf_counter() - t0), 1)
+                        print(json.dumps({
+                            "needle": needle, "ignore_case": ci, "ms": ms,
+                            "doc_ids": ids,
+                        }), flush=True)
+                finally:
+                    if args.queries:
+                        lines.close()
+                    server.close()
+                return 0
             if args.phrase:
                 from bliss_rs_spark.operators.phrase import PhraseServer
 
@@ -315,6 +361,10 @@ def main(argv: list[str] | None = None) -> int:
             from bliss_rs_spark.sources.documents import load_documents
 
             docs = load_documents(spark, args.source, args.format)
+            if "doc_id" not in docs.columns:
+                from bliss_rs_spark.corpus import with_invariants
+
+                docs = with_invariants(docs)
             if args.needle is not None:
                 out = substring_query(
                     spark, store, docs, args.needle,

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,6 +54,8 @@ __all__ = [
     "substring_search",
     "regex_required_literals",
     "regex_search",
+    "pack_trigrams",
+    "TrigramServer",
 ]
 
 N_GRAM_BUCKETS = 64
@@ -344,3 +348,156 @@ def regex_search(
         .filter(verify)
         .select("doc_id")
     )
+
+
+# --- warm serving: packed gram blobs + kernel intersection (Zoekt shape) -----
+
+def pack_trigrams(
+    trigram_index: DataFrame, n_doc_shards: int = 32
+) -> DataFrame:
+    """(gram, gram_bucket, shard, n, docs_blob): each (gram, doc-shard)'s
+    sorted doc list as one delta+varbyte blob (functions/codec.py — the
+    same encoding as the WAND doc maps).
+
+    Doc-sharding caps any single blob at ~|corpus|/n_doc_shards docs (hot
+    grams like '   ' appear in most files), and gives the server the same
+    structural property the WAND packs use: every gram of one shard lands
+    in one partition, so a query's AND-intersection runs shard-local with
+    no per-query shuffle.  ``n`` (list length) lets the kernel intersect
+    rarest-first without decoding."""
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_doc_shards))).cast("int")
+
+    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bliss_rs_spark.functions.codec import encode_doc_ids
+
+        docs = np.unique(pdf["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "gram": [pdf["gram"].iloc[0]],
+                "gram_bucket": [int(pdf["gram_bucket"].iloc[0])],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n": [len(docs)],
+                "docs_blob": [encode_doc_ids(docs)],
+            }
+        )
+
+    return (
+        trigram_index.withColumn("shard", shard_col)
+        .groupBy("gram", "gram_bucket", "shard")
+        .applyInPandas(
+            _enc, "gram string, gram_bucket int, shard int, n long, docs_blob binary"
+        )
+    )
+
+
+class TrigramServer:
+    """Warm substring/regex candidate serving: the packed gram blobs live
+    in cached executor partitions (repartitioned by shard once at init, the
+    WandServer structural-placement argument), and a query is ONE
+    shuffle-free job — filter the cached frame to the needle's grams, each
+    shard task decodes its blobs rarest-first and np.intersect1d's them,
+    and the matching doc_ids come back for the (exact, match-sized) verify
+    against the documents frame.
+
+    ``index_lowercased`` mirrors substring_search: a folded index serves
+    case-sensitive queries exactly (superset candidates + raw verify) and
+    grep -i.  Construct over store.load(spark, 'trigram') for a live store
+    (tombstones already applied by load; re-point by rebuilding — blobs are
+    derived, snapshot-scoped state like the WAND packs).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        trigram_index: DataFrame,
+        docs: DataFrame,
+        n_doc_shards: int = 32,
+        index_lowercased: bool = False,
+        target_partitions: int | None = None,
+        content_col: str = "content",
+    ):
+        self.spark = spark
+        self.index_lowercased = index_lowercased
+        self._content_col = content_col
+        if target_partitions is None:
+            target_partitions = spark.sparkContext.defaultParallelism
+        self._packed = (
+            pack_trigrams(trigram_index, n_doc_shards)
+            .repartition(max(int(target_partitions), 1), "shard")
+            .persist()
+        )
+        self._packed.count()  # materialize the cache
+        self._docs = docs.persist()
+        self._docs.count()
+
+    def candidates(self, needle: str) -> list[int]:
+        """Sorted doc_ids whose gram set covers the needle's grams — the
+        trigram AND, served warm.  Superset of the true match set."""
+        probe = needle.lower() if self.index_lowercased else needle
+        grams = trigrams_of(probe)
+        if not grams:
+            raise ValueError("needle shorter than 3 chars: use a full scan")
+        need = len(grams)
+
+        def kernel(batches):
+            by_shard: dict[int, list] = {}
+            for pdf in batches:
+                for shard, n, blob in zip(pdf["shard"], pdf["n"], pdf["docs_blob"]):
+                    by_shard.setdefault(int(shard), []).append((int(n), blob))
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            out: list[np.ndarray] = []
+            for rows in by_shard.values():
+                if len(rows) < need:
+                    continue  # some gram absent from this shard entirely
+                rows.sort(key=lambda r: r[0])  # rarest-first
+                cur: np.ndarray | None = None
+                for _, blob in rows:
+                    d = decode_doc_ids(bytes(blob))
+                    cur = d if cur is None else np.intersect1d(
+                        cur, d, assume_unique=True
+                    )
+                    if not len(cur):
+                        break
+                if cur is not None and len(cur):
+                    out.append(cur)
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(out) if out else
+                 np.empty(0, dtype=np.int64)}
+            )
+
+        rows = (
+            self._packed.filter(F.col("gram").isin(grams))
+            .mapInPandas(kernel, "doc_id long")
+            .collect()
+        )
+        return sorted(int(r["doc_id"]) for r in rows)
+
+    def grep(
+        self, needle: str, case_insensitive: bool = False, limit: int | None = None
+    ) -> list[int]:
+        """Exact substring match, warm: kernel candidates + a match-sized
+        verify over the cached documents frame."""
+        if case_insensitive and not self.index_lowercased:
+            raise ValueError("case-insensitive grep needs a lowercase index")
+        c = F.col(self._content_col)
+        if case_insensitive:
+            verify = F.lower(c).contains(F.lit(needle.lower()))
+        else:
+            verify = c.contains(F.lit(needle))
+        if len(needle) < 3:
+            out = self._docs.filter(verify).select("doc_id")
+        else:
+            cand = self.candidates(needle)
+            if not cand:
+                return []
+            out = self._docs.filter(
+                F.col("doc_id").isin(cand) & verify
+            ).select("doc_id")
+        if limit is not None:
+            out = out.limit(limit)
+        return sorted(int(r["doc_id"]) for r in out.collect())
+
+    def close(self):
+        self._packed.unpersist()
+        self._docs.unpersist()

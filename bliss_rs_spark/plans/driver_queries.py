@@ -2123,6 +2123,24 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 """
 
 
+def q_substring_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same substring match through the WARM server (packed gram blobs,
+    shuffle-free kernel AND, match-sized verify) — must equal the batch
+    path's oracle exactly (operators/trigram.py:TrigramServer)."""
+    from bliss_rs_spark.operators.trigram import TrigramServer, build_trigram_index
+
+    docs = _docs_adapted(spark, sf_dir)
+    srv = TrigramServer(
+        spark, build_trigram_index(docs, lowercase=True), docs,
+        n_doc_shards=8, index_lowercased=True,
+    )
+    try:
+        ids = srv.grep(SUBSTRING_NEEDLE)
+    finally:
+        srv.close()
+    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+
+
 # --- structured query language: boolean / prefix / fuzzy / more-like-this ----
 
 BOOL_MUST, BOOL_SHOULD, BOOL_NOT = "table window", "hash join", "vector"
@@ -2650,4 +2668,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "phrase_filtered": (q_phrase_filtered, ORACLE_PHRASE_FILTERED),
         "suggest_terms": (q_suggest_terms, ORACLE_SUGGEST),
         "snippet_text": (q_snippet_text, _oracle_snippet_text(PHRASE)),
+        "substring_served": (q_substring_served, ORACLE_SUBSTRING),
     }

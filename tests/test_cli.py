@@ -110,3 +110,25 @@ def test_cli_phrase_serve(tmp_path):
     # metadata filters work in phrase mode too (150 docs, 1/5 rust)
     assert flt["filter"] == "rustonly" and flt["n_docs"] == 30
     assert rf["filter"] == "rustonly"
+
+
+def test_cli_grep_serve(tmp_path):
+    """serve --grep: warm TrigramServer loop answers substring queries,
+    incl. -i over the store's folded layout."""
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    _run("synth", "--n", "120", "--dest", corpus)
+    _run("build", "--source", corpus, "--index", index, "--trigrams",
+         "--no-checkpoint")
+
+    (one,) = _run("grep", "--index", index, "--source", corpus,
+                  "--needle", "posting_block_codec")
+    qfile = tmp_path / "g.txt"
+    qfile.write_text("posting_block_codec\n-i BLOCKMAXSCORE\nzzz never\n")
+    ready, r1, r2, r3 = _run("serve", "--index", index, "--grep",
+                             "--source", corpus, "--k", "1000",
+                             "--queries", str(qfile))
+    assert ready["mode"] == "grep"
+    assert r1["doc_ids"] == one["doc_ids"]  # warm == one-shot batch
+    assert r2["ignore_case"] and r2["doc_ids"], "-i must hit camelCase docs"
+    assert r3["doc_ids"] == []

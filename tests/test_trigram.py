@@ -227,3 +227,61 @@ def test_case_insensitive_over_folded_index(docs, spark):
     with _pt.raises(ValueError, match="lowercase"):
         substring_search(docs, folded, "x", case_insensitive=True)
     folded.unpersist()
+
+
+def test_trigram_server_matches_batch(docs, spark):
+    """TrigramServer (packed blobs, shuffle-free kernel AND) returns the
+    same doc sets as the batch substring path, for raw and folded modes."""
+    from bliss_rs_spark.operators.trigram import TrigramServer
+
+    folded_idx = build_trigram_index(docs, lowercase=True)
+    srv = TrigramServer(
+        spark, folded_idx, docs, n_doc_shards=4, index_lowercased=True
+    )
+    try:
+        for needle in ["hello world", "hash join", "main()", "doc_id"]:
+            got = srv.grep(needle)
+            want = sorted(i for i, s in DOCS if needle in s)
+            assert got == want, needle
+        # candidates are a superset of matches and pruned vs the corpus
+        cand = srv.candidates("hash join")
+        assert set(cand) >= set(srv.grep("hash join"))
+        assert 5 not in cand
+        # -i widens to the camelCase doc
+        got_i = srv.grep("helloworld", case_insensitive=True)
+        assert got_i == sorted(i for i, s in DOCS if "helloworld" in s.lower())
+        assert 2 in got_i
+        # short needle falls back to the (cached) full scan
+        assert srv.grep("x") == sorted(i for i, s in DOCS if "x" in s)
+        # miss
+        assert srv.grep("zzz never here") == []
+        with pytest.raises(ValueError):
+            TrigramServer(
+                spark, folded_idx, docs, n_doc_shards=4, index_lowercased=False
+            ).grep("a bc", case_insensitive=True)
+    finally:
+        srv.close()
+
+
+def test_trigram_server_query_plan_is_shuffle_free(docs, spark):
+    """Per-query plan over the cached packed frame: scan -> filter ->
+    mapInPandas, no Exchange (the WandServer serving-plan property)."""
+    from bliss_rs_spark.operators.trigram import TrigramServer, trigrams_of
+
+    srv = TrigramServer(spark, build_trigram_index(docs), docs, n_doc_shards=4)
+    try:
+        grams = trigrams_of("hash join")
+        plan = (
+            srv._packed.filter(F.col("gram").isin(grams))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the cached relation's stored BUILD plan (one-time pack + init
+        # repartition) legitimately contains Exchanges; the per-query plan
+        # above the cache must not
+        query_side = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in query_side, plan[:2000]
+        assert "Exchange" not in query_side, plan[:2000]
+    finally:
+        srv.close()
