@@ -128,6 +128,24 @@ def main() -> None:
         timed("trigram_substring", lambda: substring_search(
             docs, build_trigram_index(docs), "fast merge"
         ).count())
+
+        # warm substring serving (TrigramServer: packed gram blobs)
+        from bliss_rs_spark.operators.trigram import TrigramServer
+
+        gsrv = timed("grep_server_init", lambda: TrigramServer(
+            spark, build_trigram_index(docs, lowercase=True), docs,
+            n_doc_shards=cfg.n_doc_shards, index_lowercased=True,
+        ))
+        gsrv.grep("fast merge")  # warm-up, untimed
+        glat = []
+        for needle in ["fast merge", "value table", "hash join",
+                       "key agg", "zzz never appears"]:
+            t0 = time.perf_counter()
+            gsrv.grep(needle)
+            glat.append(time.perf_counter() - t0)
+        glat.sort()
+        reps.setdefault("grep_serve_p50", []).append(glat[len(glat) // 2])
+        gsrv.close()
         timed("facet_counts", lambda: facet_counts(
             spark, idx["postings"], docs.select("doc_id", "lang"),
             "hash join", "lang", cfg,
