@@ -364,30 +364,73 @@ def pack_trigrams(
     structural property the WAND packs use: every gram of one shard lands
     in one partition, so a query's AND-intersection runs shard-local with
     no per-query shuffle.  ``n`` (list length) lets the kernel intersect
-    rarest-first without decoding."""
-    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_doc_shards))).cast("int")
+    rarest-first without decoding.
 
-    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+    Construction is the sort-shuffle streaming packer (operators/pack.py's
+    build_packed_index shape): ONE shuffle (repartition by shard) +
+    sortWithinPartitions(shard, gram, doc_id) + a mapInPandas pass that
+    slices each sorted Arrow batch at (shard, gram) boundaries, carrying the
+    tail group across batches.  Python cost is one invocation per Arrow
+    batch, not per (gram, shard) group — a trigram vocabulary is small
+    (~26k printable grams) but x n_doc_shards it still meant up to ~1M tiny
+    applyInPandas groups; the streaming pass cut server init ~5x.  Hot grams
+    ('   ', 'the') are absorbed by the sorter, not a groupBy key."""
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_doc_shards))).cast("int")
+    arranged = (
+        trigram_index.withColumn("shard", shard_col)
+        .select("shard", "gram", "gram_bucket", "doc_id")
+        .repartition(int(n_doc_shards), "shard")
+        .sortWithinPartitions("shard", "gram", "doc_id")
+    )
+    schema = "gram string, gram_bucket int, shard int, n long, docs_blob binary"
+
+    def pack_stream(batches):
         from bliss_rs_spark.functions.codec import encode_doc_ids
 
-        docs = np.unique(pdf["doc_id"].to_numpy(np.int64))
-        return pd.DataFrame(
-            {
-                "gram": [pdf["gram"].iloc[0]],
-                "gram_bucket": [int(pdf["gram_bucket"].iloc[0])],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "n": [len(docs)],
-                "docs_blob": [encode_doc_ids(docs)],
-            }
-        )
+        pend = None  # (shard, gram, bucket, docs) tail group awaiting more rows
 
-    return (
-        trigram_index.withColumn("shard", shard_col)
-        .groupBy("gram", "gram_bucket", "shard")
-        .applyInPandas(
-            _enc, "gram string, gram_bucket int, shard int, n long, docs_blob binary"
-        )
-    )
+        def emit(shard, gram, bucket, docs, out):
+            docs = np.unique(docs)  # store re-adds may duplicate (gram, doc)
+            out["gram"].append(gram)
+            out["gram_bucket"].append(int(bucket))
+            out["shard"].append(int(shard))
+            out["n"].append(int(len(docs)))
+            out["docs_blob"].append(encode_doc_ids(docs))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shards = pdf["shard"].to_numpy(np.int32)
+            grams = pdf["gram"].to_numpy(object)
+            buckets = pdf["gram_bucket"].to_numpy(np.int32)
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (shards[1:] != shards[:-1]) | (grams[1:] != grams[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+
+            out = {"gram": [], "gram_bucket": [], "shard": [], "n": [], "docs_blob": []}
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                g = (int(shards[s]), grams[s], int(buckets[s]), docs[s:e])
+                if gi == 0 and pend is not None:
+                    if pend[0] == g[0] and pend[1] == g[1]:
+                        g = (g[0], g[1], g[2], np.concatenate([pend[3], g[3]]))
+                    else:
+                        emit(*pend, out)
+                    pend = None
+                if gi == len(starts) - 1:
+                    pend = g  # may continue in the next batch
+                else:
+                    emit(*g, out)
+            if out["gram"]:
+                yield pd.DataFrame(out)
+        if pend is not None:
+            out = {"gram": [], "gram_bucket": [], "shard": [], "n": [], "docs_blob": []}
+            emit(*pend, out)
+            yield pd.DataFrame(out)
+
+    return arranged.mapInPandas(pack_stream, schema)
 
 
 class TrigramServer:
