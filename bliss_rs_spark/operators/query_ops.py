@@ -51,9 +51,13 @@ __all__ = [
     "boolean_topk",
     "expand_prefix",
     "expand_fuzzy",
+    "expand_suffix",
     "expanded_topk",
     "prefix_topk",
     "fuzzy_topk",
+    "suffix_topk",
+    "collapse_topk",
+    "search_after",
     "more_like_this",
 ]
 
@@ -273,6 +277,155 @@ def fuzzy_topk(
     return expanded_topk(
         spark, postings, expand_fuzzy(term_stats, term, max_dist), avgdl, k, cfg
     )
+
+
+def expand_suffix(term_stats: DataFrame, suffix: str) -> DataFrame:
+    """Vocabulary terms ending with ``suffix`` -> (term, idf) — the
+    leading-wildcard query `*Handler`.  Distributed endswith over the
+    (corpus-dwarfed) vocab relation; unlike startswith, endswith is NOT a
+    pushed parquet prefix filter, which is why the stored layout swaps in
+    ``build_reversed_terms`` (the Lucene reversed-term-dictionary trick)."""
+    return term_stats.filter(F.col("term").endswith(suffix)).select("term", "idf")
+
+
+def build_reversed_terms(term_stats: DataFrame) -> DataFrame:
+    """Reversed-term dictionary: (rterm, term, idf), rterm = reverse(term).
+
+    The 10^12-vocab leading-wildcard design: store this relation sorted by
+    rterm (like any postings table), and `*Handler` becomes
+    startswith(rterm, reverse('Handler')) — a pushed prefix range scan, no
+    vocabulary pass per query.  Pure codegen; same storage-side-swap shape
+    as the SymSpell deletion table (build_deletion_variants)."""
+    return term_stats.select(
+        F.reverse(F.col("term")).alias("rterm"), "term", "idf"
+    )
+
+
+def expand_suffix_indexed(reversed_terms: DataFrame, suffix: str) -> DataFrame:
+    """Suffix expansion via the reversed-term dictionary -> (term, idf),
+    equal to expand_suffix's endswith scan (tested).  The startswith on
+    rterm reaches a stored table's scan as StringStartsWith."""
+    return reversed_terms.filter(
+        F.col("rterm").startswith(suffix[::-1])
+    ).select("term", "idf")
+
+
+def suffix_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    suffix: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """`*merge`: BM25 top-k over every vocab term with the given suffix —
+    the leading-wildcard searches code queries lean on (`*_test`,
+    `*Factory`)."""
+    return expanded_topk(
+        spark, postings, expand_suffix(term_stats, suffix), avgdl, k, cfg
+    )
+
+
+def bm25_scored(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    query_text: str,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Full (doc_id, score) match relation for a query — the flagship
+    pipeline minus the final top-k, shared by the result-shaping operators
+    below (collapse, search_after).  Same pruning (bucket dirs + term
+    row-groups), same broadcast idf join, same pure-column scoring."""
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query_text, lang, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    buckets = term_buckets(spark, terms, cfg)
+    pruned = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    scored = pruned.join(
+        F.broadcast(
+            term_stats.filter(F.col("term").isin(terms)).select("term", "idf")
+        ),
+        "term",
+    ).withColumn("partial", bm25_score_col(cfg, avgdl))
+    return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+
+
+def collapse_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    query_text: str,
+    doc_keys: DataFrame,
+    k: int = 10,
+    per_key: int = 1,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Field-collapsed top-k (Elasticsearch `collapse` / Zoekt one-hit-per-
+    file): at most ``per_key`` best hits per collapse key survive, then the
+    global top-k.  ``doc_keys`` is (doc_id, key) — e.g. repo, path dir, or
+    content_sha256 to fold near-identical vendored copies out of page one.
+
+    Shape: the scored match relation joins doc_keys on doc_id (shuffle
+    sized by the MATCH set, not the corpus), one rank window per key, then
+    the usual orderBy.limit top-k (per-partition top-k + driver merge —
+    no full sort).  Ties break (score DESC, doc_id ASC) everywhere.
+    """
+    from pyspark.sql import Window as W
+
+    scored = bm25_scored(spark, postings, term_stats, avgdl, query_text, cfg, lang)
+    keyed = scored.join(doc_keys.select("doc_id", "key"), "doc_id")
+    rn = F.row_number().over(
+        W.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .filter(F.col("rn") <= F.lit(int(per_key)))
+        .select("doc_id", "key", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_after(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    query_text: str,
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+    cfg: IndexConfig | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Keyset pagination (Elasticsearch search_after): the next ``k`` hits
+    strictly after the cursor ``(score, doc_id)`` in the total order
+    (score DESC, doc_id ASC).
+
+    Deep paging without OFFSET's growing cost: the cursor predicate filters
+    BEFORE the top-k, so page N costs the same one aggregation + bounded
+    top-k as page 1 (OFFSET would make the driver merge k*N rows).  The
+    cursor is the last row of the previous page — client-held state, no
+    server session.  Because (score DESC, doc_id ASC) is a total order,
+    cursor pages concatenate to exactly the OFFSET sequence (the gate's
+    oracle replays pagination as LIMIT/OFFSET on the same ordering).
+    """
+    scored = bm25_scored(spark, postings, term_stats, avgdl, query_text, cfg, lang)
+    if after is not None:
+        s, d = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def suggest_terms(

@@ -2592,6 +2592,84 @@ ORACLE_FILTERED = ORACLE_BM25.replace(
 )
 
 
+# --- result shaping: suffix wildcard, field collapse, keyset pagination --------
+
+SUFFIX_Q, SUFFIX_K = "er", 15  # -> {customer, filter, order} at every sf
+
+
+def q_suffix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`*er` leading-wildcard expansion (reversed-term-dictionary design),
+    BM25 sum semantics — operators/query_ops.py:suffix_topk."""
+    from bliss_rs_spark.operators.query_ops import suffix_topk
+
+    idx = _index(spark, sf_dir)
+    out = suffix_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl, SUFFIX_Q, SUFFIX_K, CFG
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_SUFFIX = _oracle_expanded(
+    f"SELECT term FROM df WHERE ends_with(term, '{SUFFIX_Q}')", SUFFIX_K
+)
+
+
+COLLAPSE_PER_KEY, COLLAPSE_K = 2, 10
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed top-k: best <=2 hits per lang survive, then global
+    top-k — operators/query_ops.py:collapse_topk (the one-hit-per-file /
+    fold-vendored-copies result diversifier)."""
+    from bliss_rs_spark.operators.query_ops import collapse_topk
+
+    idx = _index(spark, sf_dir)
+    keys = _docs_adapted(spark, sf_dir).select("doc_id", F.col("lang").alias("key"))
+    out = collapse_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        BM25_QUERY, keys, COLLAPSE_K, COLLAPSE_PER_KEY, CFG,
+    )
+    return out.select("doc_id", "key", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_COLLAPSE = ORACLE_BM25.replace(
+    f"SELECT doc_id, round(score, 6) AS score_r\nFROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}",
+    f"""SELECT doc_id, key, score_r FROM (
+  SELECT s.doc_id, d.lang AS key, round(s.score, 6) AS score_r, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+) WHERE rn <= {COLLAPSE_PER_KEY} ORDER BY score DESC, doc_id ASC LIMIT {COLLAPSE_K}""",
+)
+
+
+PAGE_K = 10
+
+
+def q_page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: page 1's last (score, doc_id) becomes the cursor,
+    page 2 is everything strictly after it (operators/query_ops.py:
+    search_after).  The oracle replays the same page as LIMIT/OFFSET over
+    the total order — cursor paging must agree with offset paging."""
+    from bliss_rs_spark.operators.query_ops import search_after
+
+    idx = _index(spark, sf_dir)
+    page1 = search_after(
+        spark, idx.postings, idx.term_stats, idx.avgdl, BM25_QUERY, PAGE_K, None, CFG
+    ).collect()
+    assert len(page1) == PAGE_K, "page-1 underflow: gate corpus too small"
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    out = search_after(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        BM25_QUERY, PAGE_K, cursor, CFG,
+    )
+    return out.select("doc_id", _r6(F.col("score")).alias("score_r"))
+
+
+ORACLE_PAGE2 = ORACLE_BM25.replace(
+    f"LIMIT {BM25_K}", f"LIMIT {PAGE_K} OFFSET {PAGE_K}"
+)
+
+
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -2669,4 +2747,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "suggest_terms": (q_suggest_terms, ORACLE_SUGGEST),
         "snippet_text": (q_snippet_text, _oracle_snippet_text(PHRASE)),
         "substring_served": (q_substring_served, ORACLE_SUBSTRING),
+        "suffix_topk": (q_suffix_topk, ORACLE_SUFFIX),
+        "collapse_topk": (q_collapse_topk, ORACLE_COLLAPSE),
+        "page2_topk": (q_page2_topk, ORACLE_PAGE2),
     }

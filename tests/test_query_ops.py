@@ -221,3 +221,101 @@ def test_symspell_variant_pushdown(spark, idx, tmp_path):
         .toString()
     )
     assert "In(variant" in plan
+
+
+def test_suffix_expansion_and_scores(spark, idx):
+    from bliss_rs_spark.operators.query_ops import expand_suffix, suffix_topk
+
+    exp = {r["term"] for r in expand_suffix(idx.term_stats, "le").collect()}
+    assert "table" in exp and all(t.endswith("le") for t in exp)
+    out = _got(
+        suffix_topk(spark, idx.postings, idx.term_stats, idx.avgdl, "le", 10, CFG),
+        idx,
+    )
+    want = _brute_bm25(idx, sorted(exp))
+    assert {i for i, _ in out} == set(want)
+    for i, s in out:
+        assert s == pytest.approx(want[i], rel=1e-9)
+
+
+def test_reversed_terms_index_equals_scan(spark, idx):
+    """The reversed-term dictionary expands EXACTLY like the endswith scan,
+    and against a STORED dictionary the reversed prefix is a pushed filter."""
+    from bliss_rs_spark.operators.query_ops import (
+        build_reversed_terms,
+        expand_suffix,
+        expand_suffix_indexed,
+    )
+
+    rt = build_reversed_terms(idx.term_stats).cache()
+    for sfx in ["le", "rt", "e", "join", "zzz"]:
+        scan = {
+            (r["term"], round(r["idf"], 12))
+            for r in expand_suffix(idx.term_stats, sfx).collect()
+        }
+        indexed = {
+            (r["term"], round(r["idf"], 12))
+            for r in expand_suffix_indexed(rt, sfx).collect()
+        }
+        assert indexed == scan, sfx
+    rt.unpersist()
+
+
+def test_reversed_terms_pushdown(spark, idx, tmp_path):
+    from bliss_rs_spark.operators.query_ops import (
+        build_reversed_terms,
+        expand_suffix_indexed,
+    )
+
+    p = str(tmp_path / "rterms.parquet")
+    build_reversed_terms(idx.term_stats).write.parquet(p)
+    stored = spark.read.parquet(p)
+    plan = (
+        expand_suffix_indexed(stored, "le")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StartsWith(rterm" in plan
+
+
+def test_collapse_topk_caps_per_key(spark, idx):
+    """Collapse by a 2-value key: no key exceeds per_key, survivors are each
+    key's best by (score DESC, doc_id ASC), and scores match brute force."""
+    from bliss_rs_spark.operators.query_ops import collapse_topk
+
+    # docs 0-2 -> key 'x', docs 3-5 -> key 'y'
+    keys = spark.createDataFrame(
+        [(d, "x" if i < 3 else "y") for i, d in enumerate(idx._test_ids)],
+        "doc_id long, key string",
+    )
+    out = collapse_topk(
+        spark, idx.postings, idx.term_stats, idx.avgdl,
+        "merge join table", keys, k=10, per_key=1, cfg=CFG,
+    ).collect()
+    assert len(out) == 2 and {r["key"] for r in out} == {"x", "y"}
+    want = _brute_bm25(idx, ["merge", "join", "table"])
+    inv = {d: i for i, d in enumerate(idx._test_ids)}
+    for r in out:
+        i = inv[r["doc_id"]]
+        group = range(0, 3) if r["key"] == "x" else range(3, 6)
+        best = max((want.get(j, 0.0), -j) for j in group)
+        assert (want[i], -i) == best
+        assert r["score"] == pytest.approx(want[i], rel=1e-9)
+
+
+def test_search_after_pages_concatenate(spark, idx):
+    """Cursor pages concatenate to exactly the single top-N run (total-order
+    keyset pagination), and the pages are disjoint."""
+    from bliss_rs_spark.operators.query_ops import search_after
+
+    args = (spark, idx.postings, idx.term_stats, idx.avgdl, "the a merge join vector")
+    full = search_after(*args, k=6, cfg=CFG).collect()
+    assert len(full) == 6, "vacuous: corpus must fill both pages"
+    p1 = search_after(*args, k=3, cfg=CFG).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = search_after(*args, k=3, after=cursor, cfg=CFG).collect()
+    got = [(r["doc_id"], round(r["score"], 9)) for r in p1 + p2]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in full]
+    assert got == want
+    assert len({d for d, _ in got}) == 6
