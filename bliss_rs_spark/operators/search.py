@@ -8,6 +8,8 @@ Grammar (Lucene-flavored, whitespace-tokenized):
     token       SHOULD (scores, doesn't constrain)
     "a b"       exact phrase (MUST; -"a b" = MUST NOT) — positional index
     tok*        prefix expansion over the vocabulary (scored)
+    *tok        suffix expansion (leading wildcard; scored) — served from
+                the reversed-term dictionary at scale (query_ops.py)
     tok~N       fuzzy expansion, Levenshtein <= N (scored; default N=1)
     field:val   metadata equality filter on doc_stats (-field:val negates)
 
@@ -55,6 +57,7 @@ class QuerySpec:
     terms: list[tuple[str, str]] = field(default_factory=list)
     phrases: list[tuple[str, str]] = field(default_factory=list)
     prefixes: list[tuple[str, str]] = field(default_factory=list)
+    suffixes: list[tuple[str, str]] = field(default_factory=list)
     fuzzies: list[tuple[str, str, int]] = field(default_factory=list)
     filters: list[tuple[str, str, str]] = field(default_factory=list)  # (op, field, value)
 
@@ -83,6 +86,9 @@ def parse_query(q: str) -> QuerySpec:
             continue
         if raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]:
             spec.prefixes.append((op, raw[:-1].lower()))
+            continue
+        if raw.startswith("*") and len(raw) > 1 and "*" not in raw[1:]:
+            spec.suffixes.append((op, raw[1:].lower()))
             continue
         m = re.fullmatch(r"(.+?)~(\d?)", raw)
         if m:
@@ -140,6 +146,11 @@ def _query_relation(
 
     for op, prefix in spec.prefixes:
         parts.append(vocab_group(F.col("term").startswith(prefix), op))
+        if op == "+":
+            n_must += 1
+        gid += 1
+    for op, suffix in spec.suffixes:
+        parts.append(vocab_group(F.col("term").endswith(suffix), op))
         if op == "+":
             n_must += 1
         gid += 1

@@ -64,9 +64,10 @@ def _hit_indexes(env_tuple, q, **kw):
 # --- parser -------------------------------------------------------------------
 
 def test_parse_constructs():
-    spec = parse_query('+table -vector merg* joi~1 lang:rust -"hash join" plain')
+    spec = parse_query('+table -vector merg* *ort joi~1 lang:rust -"hash join" plain')
     assert spec.terms == [("+", "table"), ("-", "vector"), ("", "plain")]
     assert spec.prefixes == [("", "merg")]
+    assert spec.suffixes == [("", "ort")]
     assert spec.fuzzies == [("", "joi", 1)]
     assert spec.filters == [("", "lang", "rust")]
     assert spec.phrases == [("-", "hash join")]
@@ -113,6 +114,17 @@ def test_prefix_and_fuzzy(env):
     assert got >= _docs_with("merge"), "prefix must cover exact-term docs"
     got_f = set(_hit_indexes(env, "tabl~1"))
     assert got_f == _docs_with("table")
+
+
+def test_suffix_wildcard(env):
+    # *ort covers 'sort' (docs 0, 6 via camelCase subtoken, 3 via 'sorted'? no
+    # — endswith is exact-term: sort only); must cover every sort-term doc
+    got = set(_hit_indexes(env, "*ort"))
+    assert got == _docs_with("sort"), "suffix expansion must equal endswith set"
+    assert got, "vacuous"
+    # MUST form constrains
+    got_m = set(_hit_indexes(env, "+*ort merge"))
+    assert got_m == _docs_with("sort")
 
 
 def test_field_filter(env):
