@@ -2467,14 +2467,16 @@ WHERE doc_id % 5 <> 0 AND contains(text, '{SUBSTRING_NEEDLE}')
 
 # --- unified query-string search ----------------------------------------------
 
-SEARCH_Q = '+table merg* joi~1 -vector lang:en "fast merge"'
+SEARCH_Q = '+table merg* *ow joi~1 -vector lang:en "fast merge"'
 SEARCH_K = 15
 
 
 def q_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One query string exercising the whole grammar: MUST term, prefix +
-    fuzzy expansion (scored), MUST_NOT term, metadata filter, exact phrase
-    (operators/search.py)."""
+    suffix (leading-wildcard) + fuzzy expansion (all scored), MUST_NOT term,
+    metadata filter, exact phrase (operators/search.py).  `*ow` expands to
+    {row, slow, window} in this corpus — a real multi-term expansion, so the
+    gate is non-vacuous for the suffix construct."""
     from bliss_rs_spark.operators.phrase import build_positional_postings
     from bliss_rs_spark.operators.search import search
 
@@ -2501,6 +2503,7 @@ q AS (
   SELECT DISTINCT term FROM (
     SELECT 'table' AS term
     UNION ALL SELECT term FROM df WHERE starts_with(term, 'merg')
+    UNION ALL SELECT term FROM df WHERE ends_with(term, 'ow')
     UNION ALL SELECT term FROM df WHERE levenshtein(term, 'joi') <= 1
   )
 ),
