@@ -118,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--regex", default=None, help="regex pattern")
     g.add_argument("-i", "--ignore-case", action="store_true",
                    help="case-insensitive substring match (needle mode)")
+    g.add_argument("-n", "--lines", action="store_true",
+                   help="print file:line:col matches (needle mode)")
     g.add_argument("--limit", type=int, default=100)
 
     st = sub.add_parser("stats", help="print CURRENT snapshot meta + metrics")
@@ -211,19 +213,21 @@ def main(argv: list[str] | None = None) -> int:
                     from bliss_rs_spark.corpus import with_invariants
 
                     gdocs = with_invariants(gdocs)
-                server = TrigramServer(
-                    spark,
-                    store.load(spark, "trigram"),
-                    gdocs,
-                    n_doc_shards=store.config().n_doc_shards,
-                    index_lowercased=True,  # the store's folded layout
-                )
+                # per-segment packs from the derived cache + dead sets;
+                # ":refresh" re-points at the CURRENT snapshot reusing
+                # fingerprint-unchanged units (round-6)
+                server = TrigramServer.from_store(spark, store, gdocs)
                 print(json.dumps({"ready": True, "mode": "grep"}), flush=True)
                 lines = open(args.queries) if args.queries else sys.stdin
                 try:
                     for line in lines:
                         text = line.strip()
                         if not text:
+                            continue
+                        if text == ":refresh":
+                            info = server.refresh(store)
+                            print(json.dumps({"refreshed": True, **info}),
+                                  flush=True)
                             continue
                         ci = text.startswith("-i ")
                         needle = text[3:] if ci else text
@@ -365,6 +369,23 @@ def main(argv: list[str] | None = None) -> int:
                 from bliss_rs_spark.corpus import with_invariants
 
                 docs = with_invariants(docs)
+            if args.needle is not None and args.lines:
+                # grep -n: file:line:col rows (line-level verify)
+                from bliss_rs_spark.plans.lifecycle import substring_query_lines
+
+                out = substring_query_lines(
+                    spark, store, docs, args.needle,
+                    case_insensitive=args.ignore_case,
+                ).orderBy("doc_id", "line_no").limit(args.limit)
+                name_col = "path" if "path" in docs.columns else None
+                if name_col:
+                    out = out.join(
+                        docs.select("doc_id", name_col), "doc_id", "left"
+                    )
+                for r in out.collect():
+                    where = r[name_col] if name_col else str(r["doc_id"])
+                    print(f"{where}:{r['line_no']}:{r['col']}:{r['line']}")
+                return 0
             if args.needle is not None:
                 out = substring_query(
                     spark, store, docs, args.needle,

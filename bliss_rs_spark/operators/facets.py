@@ -38,8 +38,11 @@ def match_set(
 ) -> DataFrame:
     """(doc_id) of every document containing ALL the query's analyzed terms
     — the conjunctive candidate relation boolean_topk ranks and facets
-    aggregate.  Postings are unique per (term, doc), so a plain conditional
-    count equals the distinct-term count."""
+    aggregate.  countDistinct(term), not count(1): a duplicated (term, doc)
+    row — store re-adds can produce them, pack_trigrams defends against the
+    same — would overshoot a plain count and wrongly EXCLUDE a doc that
+    contains every term (round-5 ADVICE; the robust pattern
+    substring_candidates already uses)."""
     cfg = cfg or IndexConfig()
     terms = query_terms(query_text, lang, cfg)
     if not terms:
@@ -50,7 +53,7 @@ def match_set(
     )
     return (
         pruned.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .agg(F.countDistinct("term").alias("n_terms"))
         .filter(F.col("n_terms") == F.lit(len(terms)))
         .select("doc_id")
     )

@@ -18,6 +18,7 @@ via ``feature_index`` (UNIQUE(song_id, feature_index),
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -648,6 +649,34 @@ def attach_snippet_text(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_allow_ids(blobs: tuple[bytes, ...]) -> np.ndarray:
+    """Worker-memoized assembly of an allow-id array (sorted unique) from
+    per-shard encoded blobs.  CPython caches bytes hashes on the objects,
+    so repeat lookups cost one dict probe."""
+    from bliss_rs_spark.functions.codec import decode_doc_ids
+
+    if not blobs:
+        return _EMPTY_I64
+    return np.sort(np.concatenate([decode_doc_ids(b) for b in blobs]))
+
+
+def _allow_for_partition(
+    blobs: dict[int, bytes], pdf: pd.DataFrame
+) -> np.ndarray:
+    """The partition-local allow array: packed partitions decode only the
+    blobs of the doc shards actually present in the partition (the rows'
+    own shard column); row mode (no shard column) assembles the full set.
+    A shard with no allow blob contributes nothing — the complement
+    convention of dead sets (nothing-allowed there)."""
+    if "shard" in pdf.columns:
+        shards = sorted(int(s) for s in pd.unique(pdf["shard"]))
+        key = tuple(blobs[s] for s in shards if s in blobs)
+    else:
+        key = tuple(blobs[s] for s in sorted(blobs))
+    return _cached_allow_ids(key)
+
+
 def _ensure_pos_unit_cache(spark, store, key: str, src_dir: str, cfg) -> str:
     """Pack one unit's positional rows into the store's derived cache
     (``<store>/derived/pos_units/<key>``) if not already there; returns the
@@ -987,19 +1016,42 @@ class PhraseServer:
     def set_filter(self, name: str, allow_df: DataFrame) -> None:
         """Register a named metadata filter for query/query_window
         (filter_name=...): ``allow_df`` is a (doc_id) frame of permitted
-        docs.  The phrase path uses RAW doc ids end-to-end, so one sorted
-        global id array (no per-shard keying) ships as a broadcast variable
-        — sized by the MATCHING side, paid once per registration, and
-        snapshot-independent (doc ids are stable), so refresh() keeps
+        docs.  The allow set is encoded DISTRIBUTED — one delta+varbyte
+        blob per doc shard (the WandServer _allow_sets_df shape) — and only
+        those ENCODED bytes ever reach the driver (round-5 verdict #2: the
+        old path funneled raw ids through a driver-side fromiter, ~5 GB for
+        a 60%-selective filter at 10^9 docs; encoded blobs are ~10x smaller
+        and each worker decodes only its partitions' shards, memoized).
+        Paid once per registration, shipped once as a broadcast variable,
+        and snapshot-independent (doc ids are stable), so refresh() keeps
         filters as-is."""
-        ids = np.unique(
-            np.fromiter(
-                (r["doc_id"] for r in allow_df.select("doc_id").collect()),
-                dtype=np.int64,
+        shard_col = F.pmod(
+            F.xxhash64("doc_id"), F.lit(int(self.cfg.n_doc_shards))
+        ).cast("int")
+
+        def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+            from bliss_rs_spark.functions.codec import encode_doc_ids
+
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "allow": [
+                        encode_doc_ids(
+                            np.unique(pdf["doc_id"].to_numpy(np.int64))
+                        )
+                    ],
+                }
             )
+
+        rows = (
+            allow_df.select(shard_col.alias("shard"), "doc_id")
+            .groupBy("shard")
+            .applyInPandas(_enc, "shard int, allow binary")
+            .collect()
         )
+        blobs = {int(r["shard"]): bytes(r["allow"]) for r in rows}
         self.drop_filter(name)
-        self._filters[name] = self.spark.sparkContext.broadcast(ids)
+        self._filters[name] = self.spark.sparkContext.broadcast(blobs)
 
     def drop_filter(self, name: str) -> None:
         old = self._filters.pop(name, None)
@@ -1056,7 +1108,11 @@ class PhraseServer:
                 return
             top = _phrase_topk_sources(
                 src, offsets, n_terms, kk,
-                allow=allow_bc.value if allow_bc is not None else None,
+                allow=(
+                    _allow_for_partition(allow_bc.value, pdf)
+                    if allow_bc is not None
+                    else None
+                ),
             )
             if top is None:
                 yield empty
@@ -1130,7 +1186,11 @@ class PhraseServer:
                 return
             top = _min_window_from_sources(
                 src, terms, kk, with_spans=with_spans,
-                allow=allow_bc.value if allow_bc is not None else None,
+                allow=(
+                    _allow_for_partition(allow_bc.value, pdf)
+                    if allow_bc is not None
+                    else None
+                ),
             )
             if top is None:
                 yield empty

@@ -456,18 +456,25 @@ def more_like_this(
     k: int = 10,
     top_terms: int = 10,
     cfg: IndexConfig | None = None,
+    seed_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Similarity by example: take the seed document's ``top_terms``
     highest tf*idf terms as a query, score the corpus, exclude the seed.
 
-    The seed's term vector is one pruned-by-doc lookup (tiny); the
-    representative-term choice is deterministic (tf*idf DESC, term ASC) so
-    an oracle can replay it.  The seed itself is excluded like the
-    reference's playlist-from-song excludes the seed song
-    (/root/reference/src/playlist.rs:256-270).
+    ``seed_terms`` (doc_id, term, tf) is an optional DOC-KEYED source for
+    the seed vector — e.g. the store's tokenize checkpoint
+    (plans/lifecycle.py:more_like_this_query).  Postings partition by
+    term_bucket, so `filter(doc_id == seed)` over postings is a full
+    postings pass for one doc's vector (round-5 verdict #3); a doc-keyed
+    frame turns it into a pushed doc_id predicate with row-group pruning.
+    The representative-term choice is deterministic (tf*idf DESC, term
+    ASC) so an oracle can replay it either way.  The seed itself is
+    excluded like the reference's playlist-from-song excludes the seed
+    song (/root/reference/src/playlist.rs:256-270).
     """
     cfg = cfg or IndexConfig()
-    seed_vec = postings.filter(F.col("doc_id") == F.lit(seed_doc_id)).join(
+    src = seed_terms if seed_terms is not None else postings
+    seed_vec = src.filter(F.col("doc_id") == F.lit(seed_doc_id)).join(
         term_stats.select("term", "idf"), "term"
     )
     rep = (

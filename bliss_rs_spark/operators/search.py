@@ -104,13 +104,19 @@ def _query_relation(
     spec: QuerySpec,
     cfg: IndexConfig,
     lang: str | None,
+    reversed_terms: DataFrame | None = None,
+    variants: DataFrame | None = None,
 ) -> tuple[DataFrame | None, int]:
     """-> ((term, group_id, is_must, is_neg, scorer) relation, n_must_groups).
 
     Driver terms become literal rows; prefix/fuzzy groups are vocabulary
     filters (DISTRIBUTED — the vocab never reaches the driver).  ``scorer``
     marks exactly one non-negated row per term so expansion overlap cannot
-    double-score."""
+    double-score.  When the INDEXED expansion tables are supplied
+    (``reversed_terms`` / ``variants``, query_ops.py:build_reversed_terms /
+    build_deletion_variants), suffix and fuzzy groups come from pushed
+    prefix / isin scans over them instead of the per-query vocab pass —
+    expansion-identical (tested), storage-side-only swap."""
     parts: list[DataFrame] = []
     gid = 0
     n_must = 0
@@ -136,13 +142,16 @@ def _query_relation(
             )
         )
 
-    def vocab_group(flt: F.Column, op: str) -> DataFrame:
-        return term_stats.filter(flt).select(
+    def expansion_group(expanded: DataFrame, op: str) -> DataFrame:
+        return expanded.select(
             "term",
             F.lit(gid).alias("group_id"),
             F.lit(op == "+").alias("is_must"),
             F.lit(op == "-").alias("is_neg"),
         )
+
+    def vocab_group(flt: F.Column, op: str) -> DataFrame:
+        return expansion_group(term_stats.filter(flt).select("term"), op)
 
     for op, prefix in spec.prefixes:
         parts.append(vocab_group(F.col("term").startswith(prefix), op))
@@ -150,14 +159,32 @@ def _query_relation(
             n_must += 1
         gid += 1
     for op, suffix in spec.suffixes:
-        parts.append(vocab_group(F.col("term").endswith(suffix), op))
+        if reversed_terms is not None:
+            from bliss_rs_spark.operators.query_ops import expand_suffix_indexed
+
+            parts.append(
+                expansion_group(
+                    expand_suffix_indexed(reversed_terms, suffix).select("term"), op
+                )
+            )
+        else:
+            parts.append(vocab_group(F.col("term").endswith(suffix), op))
         if op == "+":
             n_must += 1
         gid += 1
     for op, t, dist in spec.fuzzies:
-        parts.append(
-            vocab_group(F.levenshtein(F.col("term"), F.lit(t)) <= F.lit(dist), op)
-        )
+        if variants is not None:
+            from bliss_rs_spark.operators.query_ops import expand_fuzzy_indexed
+
+            parts.append(
+                expansion_group(
+                    expand_fuzzy_indexed(variants, t, dist).select("term"), op
+                )
+            )
+        else:
+            parts.append(
+                vocab_group(F.levenshtein(F.col("term"), F.lit(t)) <= F.lit(dist), op)
+            )
         if op == "+":
             n_must += 1
         gid += 1
@@ -180,6 +207,11 @@ def _query_relation(
     ), n_must
 
 
+# doc_stats metadata columns a field filter can target when no doc_stats
+# frame is in hand to validate against (build_index.py:build_doc_stats)
+_KNOWN_FIELDS = frozenset({"lang", "repo", "path", "commit", "content_sha256"})
+
+
 def search(
     spark: SparkSession,
     postings: DataFrame,
@@ -191,20 +223,42 @@ def search(
     doc_stats: DataFrame | None = None,
     positional: DataFrame | None = None,
     lang: str | None = None,
+    reversed_terms: DataFrame | None = None,
+    variants: DataFrame | None = None,
 ) -> DataFrame:
     """Execute a full query-string search -> (doc_id, score) top-k.
 
     ``doc_stats`` is required when the query carries field filters;
     ``positional`` when it carries phrases (ValueError otherwise — the
-    caller chose not to load that index)."""
+    caller chose not to load that index).  A `word:rest` token whose field
+    is NOT a doc_stats column degrades to a plain SHOULD term (round-5
+    ADVICE: `std::vector` and URLs parse field-shaped; search boxes must
+    not throw on odd input) — only KNOWN metadata fields are treated as
+    filters.  ``reversed_terms`` / ``variants`` swap suffix / fuzzy
+    expansion onto the indexed tables (see _query_relation)."""
     cfg = cfg or IndexConfig()
     spec = parse_query(query_string)
+    real_filters: list[tuple[str, str, str]] = []
+    for op, fld, val in spec.filters:
+        known = (
+            fld in doc_stats.columns if doc_stats is not None
+            else fld in _KNOWN_FIELDS
+        )
+        if known:
+            real_filters.append((op, fld, val))
+        else:
+            # unknown field (std::vector, https://...): degrade to a plain
+            # SHOULD term — the analyzer splits it into sub-terms
+            spec.terms.append(("", f"{fld}:{val}"))
+    spec.filters = real_filters
     if spec.filters and doc_stats is None:
         raise ValueError("query has field filters; pass doc_stats")
     if spec.phrases and positional is None:
         raise ValueError("query has phrases; pass the positional frame")
 
-    rel, n_must = _query_relation(spark, term_stats, spec, cfg, lang)
+    rel, n_must = _query_relation(
+        spark, term_stats, spec, cfg, lang, reversed_terms, variants
+    )
     if rel is None:
         return spark.createDataFrame([], "doc_id long, score double")
     rel = rel.join(term_stats.select("term", "idf"), "term").select(

@@ -591,31 +591,40 @@ class IndexStore:
     def _gc_derived(self, keep: set[str], referenced: set[str]) -> list[str]:
         """Prune derived caches (round-5 ADVICE fix: they accumulated
         unboundedly): legacy per-snapshot ``derived/<vNNNNN>`` dirs whose
-        snapshot expired, and ``derived/pos_units/<key>`` packs whose key —
-        a segment name, or ``snap_<vNNNNN>`` for layout-1 stores — is no
-        longer referenced by any kept snapshot.  In-flight ``.tmp-*``
-        staging dirs are left alone (a concurrent packer may own them);
-        they are removed with their base key once it expires."""
+        snapshot expired, segment-keyed unit packs (``derived/pos_units`` /
+        ``derived/tri_units``) whose key — a segment name, or
+        ``snap_<vNNNNN>`` for layout-1 stores — is no longer referenced by
+        any kept snapshot, and snapshot-keyed expansion tables
+        (``derived/expansions/<vNNNNN>``).  In-flight ``.tmp-*`` staging
+        dirs are left alone (a concurrent packer may own them); they are
+        removed with their base key once it expires."""
         removed: list[str] = []
         derived = os.path.join(self.path, "derived")
         if not os.path.isdir(derived):
             return removed
         for d in os.listdir(derived):
-            if d == "pos_units":
+            if d in ("pos_units", "tri_units", "expansions"):
                 continue
             if d.startswith("v") and d[1:].isdigit() and d not in keep:
                 shutil.rmtree(os.path.join(derived, d), ignore_errors=True)
                 removed.append(f"derived/{d}")
-        pu = os.path.join(derived, "pos_units")
-        if os.path.isdir(pu):
-            for key in os.listdir(pu):
-                base = key.split(".tmp-")[0]
-                live = base in referenced or (
-                    base.startswith("snap_") and base[5:] in keep
-                )
-                if not live:
-                    shutil.rmtree(os.path.join(pu, key), ignore_errors=True)
-                    removed.append(f"derived/pos_units/{key}")
+        for units_dir in ("pos_units", "tri_units"):
+            pu = os.path.join(derived, units_dir)
+            if os.path.isdir(pu):
+                for key in os.listdir(pu):
+                    base = key.split(".tmp-")[0]
+                    live = base in referenced or (
+                        base.startswith("snap_") and base[5:] in keep
+                    )
+                    if not live:
+                        shutil.rmtree(os.path.join(pu, key), ignore_errors=True)
+                        removed.append(f"derived/{units_dir}/{key}")
+        exp = os.path.join(derived, "expansions")
+        if os.path.isdir(exp):
+            for key in os.listdir(exp):
+                if key.split(".tmp-")[0] not in keep:
+                    shutil.rmtree(os.path.join(exp, key), ignore_errors=True)
+                    removed.append(f"derived/expansions/{key}")
         return removed
 
     # --- tokenize checkpoint (resumability) --------------------------------------

@@ -272,7 +272,7 @@ def test_trigram_server_query_plan_is_shuffle_free(docs, spark):
     try:
         grams = trigrams_of("hash join")
         plan = (
-            srv._packed.filter(F.col("gram").isin(grams))
+            srv._scan(grams)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

@@ -1,0 +1,205 @@
+"""Round-6 lead item: warm grep serving across updates (TrigramServer
+from_store / refresh) — the trigram tier gets the same lifecycle story the
+phrase tier closed in round 5.
+
+Proves:
+
+1. from_store serving equals the batch/brute answer (folded layout, exact
+   verify) and caches per-segment packs under derived/tri_units;
+2. refresh() after a delta update re-packs ONLY the delta segment —
+   fingerprint-unchanged unit caches (and their cached frames) are reused
+   verbatim (mtime/inode pins, object identity);
+3. deletions flow through refresh() as dead sets: set-identity with the
+   brute answer over the retained corpus, no segment rewrites;
+4. the serving path holds NO candidate-proportional driver structure (the
+   round-5 round-trip is gone): grep never calls the collect-based
+   candidates() debug API and its plan semi-joins a distributed frame
+   instead of injecting an isin literal list;
+5. grep -n (line granularity) matches a per-line Python oracle.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bliss_rs_spark.config import IndexConfig
+from bliss_rs_spark.corpus import synth_documents, with_invariants
+from bliss_rs_spark.operators.trigram import TrigramServer
+from bliss_rs_spark.plans.lifecycle import build_full, update_index
+from bliss_rs_spark.sources.index_store import IndexStore
+
+CFG = IndexConfig(store_trigrams=True)
+NEEDLE = "return"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = with_invariants(synth_documents(spark, 200, seed=23)).cache()
+    d.count()
+    return d
+
+
+def _brute(docs, needle, fold=False):
+    out = set()
+    for r in docs.collect():
+        c = r["content"]
+        if fold:
+            c, n = c.lower(), needle.lower()
+        else:
+            n = needle
+        if n in c:
+            out.add(r["doc_id"])
+    return out
+
+
+def _brute_lines(docs, needle, fold=False):
+    out = []
+    for r in docs.collect():
+        for i, line in enumerate(r["content"].split("\n")):
+            hay = line.lower() if fold else line
+            ndl = needle.lower() if fold else needle
+            pos = hay.find(ndl)
+            if pos >= 0:
+                out.append((r["doc_id"], i + 1, pos + 1, line))
+    return sorted(out)
+
+
+def test_from_store_serving_and_refresh_lifecycle(spark, docs, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    srv = TrigramServer.from_store(spark, store, docs)
+    try:
+        # 1) exactness through the warm server (case-sensitive over the
+        # folded layout + grep -i)
+        assert set(srv.grep(NEEDLE)) == _brute(docs, NEEDLE)
+        assert set(srv.grep("RETURN", case_insensitive=True)) == _brute(
+            docs, "RETURN", fold=True
+        )
+        # per-segment pack cached under the immutable key
+        tri_units = os.path.join(store.path, "derived", "tri_units")
+        assert os.path.isdir(tri_units) and len(os.listdir(tri_units)) == 1
+        base_key = os.listdir(tri_units)[0]
+        base_fp_before = srv._unit_fps.copy()
+        base_frame = srv._unit_frames[min(srv._unit_frames)]
+
+        # 2) delta update (new docs) -> refresh re-packs ONLY the delta
+        delta = with_invariants(
+            synth_documents(spark, 40, seed=99).withColumn(
+                "path", F.concat(F.lit("delta/"), F.col("path"))
+            )
+        )
+        all_docs = docs.unionByName(delta).cache()
+        all_docs.count()
+        update_index(spark, delta, store, CFG, repack="segment")
+        info = srv.refresh(store, docs=all_docs)
+        assert info["reused_units"] and info["rebuilt_units"]
+        base_seq = min(srv._unit_frames)
+        assert base_seq in info["reused_units"]
+        # the base unit's cache fingerprint and cached FRAME are unchanged
+        assert srv._unit_fps[base_seq] == base_fp_before[base_seq]
+        assert srv._unit_frames[base_seq] is base_frame
+        assert len(os.listdir(tri_units)) == 2  # base + delta, no re-pack
+        assert set(srv.grep(NEEDLE)) == _brute(all_docs, NEEDLE)
+        # delta docs are actually served
+        delta_hits = _brute(delta, NEEDLE)
+        assert delta_hits & set(srv.grep(NEEDLE))
+
+        # 3) churn: delete every 5th doc (tombstones only) -> dead sets
+        kept = all_docs.filter(F.col("doc_id") % 5 != 0)
+        update_index(
+            spark, kept, store, CFG, delete_missing=True, repack="segment"
+        )
+        assert store.has_tombstones(spark)
+        n_units_before = len(srv._unit_frames)
+        info2 = srv.refresh(store)
+        # deletion adds tombstones, not segments: every surviving unit reused
+        assert set(info2["reused_units"]) >= {base_seq}
+        assert set(srv.grep(NEEDLE)) == _brute(kept, NEEDLE)
+        assert len(srv._unit_frames) >= n_units_before  # nothing vanished
+        assert base_key in os.listdir(tri_units)
+    finally:
+        srv.close()
+        all_docs.unpersist()
+
+
+def test_serving_path_holds_no_candidate_list(spark, docs, monkeypatch):
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    srv = TrigramServer(
+        spark, build_trigram_index(docs, lowercase=True), docs,
+        n_doc_shards=4, index_lowercased=True,
+    )
+    try:
+        # grep must never route through the collect-based debug API
+        def boom(self, needle):
+            raise AssertionError(
+                "candidates() collected on a serving path — driver structure "
+                "proportional to the candidate set"
+            )
+
+        monkeypatch.setattr(TrigramServer, "candidates", boom)
+        want = _brute(docs, NEEDLE)
+        assert set(srv.grep(NEEDLE)) == want
+        # and the verify plan is a semi-join of a distributed frame, not an
+        # injected isin literal list
+        plan = (
+            srv.matches(NEEDLE)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in plan, plan[:2000]
+        assert "doc_id IN (" not in plan.replace("#", " "), plan[:2000]
+    finally:
+        srv.close()
+
+
+def test_grep_deterministic_limit(spark, docs):
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    srv = TrigramServer(
+        spark, build_trigram_index(docs, lowercase=True), docs,
+        n_doc_shards=4, index_lowercased=True,
+    )
+    try:
+        full = srv.grep(NEEDLE)
+        for _ in range(3):
+            assert srv.grep(NEEDLE, limit=5) == full[:5]
+    finally:
+        srv.close()
+
+
+def test_grep_lines_matches_python_oracle(spark, docs):
+    from bliss_rs_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search_lines,
+    )
+
+    tri = build_trigram_index(docs, lowercase=True).cache()
+    srv = TrigramServer(spark, tri, docs, n_doc_shards=4, index_lowercased=True)
+    try:
+        want = _brute_lines(docs, NEEDLE)
+        got = sorted(
+            (int(r["doc_id"]), int(r["line_no"]), int(r["col"]), r["line"])
+            for r in srv.grep_lines(NEEDLE).collect()
+        )
+        assert got == want
+        # batch path agrees
+        got_b = sorted(
+            (int(r["doc_id"]), int(r["line_no"]), int(r["col"]), r["line"])
+            for r in substring_search_lines(
+                docs, tri, NEEDLE, index_lowercased=True
+            ).collect()
+        )
+        assert got_b == want
+        # grep -i -n
+        want_i = _brute_lines(docs, "RETURN", fold=True)
+        got_i = sorted(
+            (int(r["doc_id"]), int(r["line_no"]), int(r["col"]), r["line"])
+            for r in srv.grep_lines("RETURN", case_insensitive=True).collect()
+        )
+        assert got_i == want_i
+        # line-wise grep cannot match across lines
+        with pytest.raises(ValueError, match="newline"):
+            srv.grep_lines("a\nb")
+    finally:
+        srv.close()
+        tri.unpersist()
