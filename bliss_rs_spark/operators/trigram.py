@@ -857,15 +857,24 @@ class TrigramServer:
     def _fold(self, needle: str) -> str:
         return jvm_fold(self.spark, needle) if self.index_lowercased else needle
 
-    def candidates_df(self, needle: str) -> DataFrame:
+    def candidates_df(
+        self, needle: str, max_query_grams: int | None = None
+    ) -> DataFrame:
         """DISTRIBUTED (doc_id) frame of docs whose gram set covers the
         needle's grams — the trigram AND served warm, dead-set-masked.
         Superset of the true match set; never collected by the serving
-        paths (grep semi-joins it against the docs frame)."""
+        paths (grep semi-joins it against the docs frame).
+
+        ``max_query_grams`` bounds DECODE work per (unit, shard) group to
+        the k rarest blobs (the ``n`` stat orders without decoding — the
+        block-max move): presence of EVERY gram is still demanded via the
+        free row-count check, so the result stays a superset and the exact
+        verify is unchanged."""
         grams = trigrams_of(self._fold(needle))
         if not grams:
             raise ValueError("needle shorter than 3 chars: use a full scan")
         need = len(grams)
+        budget = max_query_grams if max_query_grams is not None else need
         dead_bc = self._dead_bc
 
         def kernel(batches):
@@ -889,7 +898,7 @@ class TrigramServer:
                     continue  # some gram absent from this group entirely
                 rows.sort(key=lambda r: r[0])  # rarest-first
                 cur: np.ndarray | None = None
-                for _, blob in rows:
+                for _, blob in rows[:budget]:
                     d = decode_doc_ids(bytes(blob))
                     cur = d if cur is None else np.intersect1d(
                         cur, d, assume_unique=True
@@ -941,6 +950,33 @@ class TrigramServer:
         plan-dependent subset; round-5 ADVICE).  Only the final (limited)
         hit rows reach the driver."""
         out = self.matches(needle, case_insensitive).orderBy("doc_id")
+        if limit is not None:
+            out = out.limit(limit)
+        return [int(r["doc_id"]) for r in out.collect()]
+
+    def grep_regex(self, pattern: str, limit: int | None = None) -> list[int]:
+        """Regex grep, warm: required-literal pruning (Cox derivation) over
+        the packed gram blobs, exact rlike verify over the candidate
+        sliver; literal-free patterns degrade to the cached full scan.
+        Deterministic (ordered before limit); only final hits collected."""
+        verify = F.col(self._content_col).rlike(pattern)
+        lits = [
+            lit for lit in regex_required_literals(pattern) if len(lit) >= 3
+        ]
+        if not lits:
+            out = self._docs.filter(verify).select("doc_id")
+        else:
+            anchor = max(lits, key=len)
+            out = (
+                self._docs.join(
+                    F.broadcast(self.candidates_df(anchor)),
+                    "doc_id",
+                    "left_semi",
+                )
+                .filter(verify)
+                .select("doc_id")
+            )
+        out = out.orderBy("doc_id")
         if limit is not None:
             out = out.limit(limit)
         return [int(r["doc_id"]) for r in out.collect()]

@@ -2124,21 +2124,56 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 
 
 def q_substring_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same substring match through the WARM server (packed gram blobs,
-    shuffle-free kernel AND, match-sized verify) — must equal the batch
-    path's oracle exactly (operators/trigram.py:TrigramServer)."""
-    from bliss_rs_spark.operators.trigram import TrigramServer, build_trigram_index
+    """The same substring match through the WARM server served FROM A
+    STORE (round-6): per-segment packed gram blobs out of the
+    derived/tri_units cache, distributed candidate flow, match-sized
+    verify — must equal the batch path's oracle exactly
+    (operators/trigram.py:TrigramServer.from_store)."""
+    import tempfile
+
+    from dataclasses import replace
+
+    from bliss_rs_spark.operators.trigram import TrigramServer
+    from bliss_rs_spark.plans.lifecycle import build_full
+    from bliss_rs_spark.sources.index_store import IndexStore
 
     docs = _docs_adapted(spark, sf_dir)
-    srv = TrigramServer(
-        spark, build_trigram_index(docs, lowercase=True), docs,
-        n_doc_shards=8, index_lowercased=True,
-    )
+    store = IndexStore(tempfile.mkdtemp(prefix="gate_grepsrv_") + "/idx")
+    build_full(spark, docs, store, replace(CFG, store_trigrams=True),
+               checkpoint=False)
+    srv = TrigramServer.from_store(spark, store, docs)
     try:
         ids = srv.grep(SUBSTRING_NEEDLE)
     finally:
         srv.close()
     return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+
+
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -n: (doc_id, line_no, col, line) of every line containing the
+    needle — trigram-AND pruning, the line filter IS the verify
+    (operators/trigram.py:substring_search_lines).  Both engines derive
+    line numbers and first-match columns independently."""
+    from bliss_rs_spark.operators.trigram import substring_search_lines
+
+    docs = _docs_adapted(spark, sf_dir)
+    return substring_search_lines(
+        docs, _trigram_index(spark, sf_dir), SUBSTRING_NEEDLE
+    ).orderBy("doc_id", "line_no")
+
+
+ORACLE_GREP_LINES = f"""
+WITH l AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM documents
+)
+SELECT doc_id, line_no::BIGINT AS line_no,
+       strpos(line, '{SUBSTRING_NEEDLE}')::BIGINT AS col, line
+FROM l WHERE contains(line, '{SUBSTRING_NEEDLE}')
+ORDER BY doc_id, line_no
+"""
 
 
 # --- structured query language: boolean / prefix / fuzzy / more-like-this ----
@@ -2429,34 +2464,46 @@ WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
 # --- grep through the store lifecycle -----------------------------------------
 
 def q_substring_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grep lifecycle: build a trigram-bearing store, DELETE every 5th
-    doc via a segment-mode update (tombstones only), then substring-query —
-    deleted docs must vanish through the store.load tombstone filter with
-    zero segment rewrites (plans/lifecycle.py:substring_query)."""
+    """Full WARM grep lifecycle (round-6): build a trigram-bearing store,
+    serve warm (TrigramServer.from_store), DELETE every 5th doc via a
+    segment-mode update (tombstones only), refresh() the LIVE server —
+    reusing every fingerprint-unchanged unit pack — and grep through the
+    warm refreshed server: deleted docs must vanish via the per-(unit,
+    shard) dead sets, with zero segment rewrites and zero re-packs
+    (operators/trigram.py:TrigramServer.refresh)."""
     import tempfile
 
     from dataclasses import replace
 
-    from bliss_rs_spark.plans.lifecycle import (
-        build_full,
-        substring_query,
-        update_index,
-    )
+    from bliss_rs_spark.operators.trigram import TrigramServer
+    from bliss_rs_spark.plans.lifecycle import build_full, update_index
     from bliss_rs_spark.sources.index_store import IndexStore
 
     docs = _docs_adapted(spark, sf_dir)
     store = IndexStore(tempfile.mkdtemp(prefix="gate_grep_") + "/idx")
     cfg = replace(CFG, store_trigrams=True)
     build_full(spark, docs, store, cfg, checkpoint=False)
-    update_index(
-        spark,
-        docs.filter(F.col("doc_id") % 5 != 0),
-        store,
-        None,
-        delete_missing=True,
-        repack="segment",
-    )
-    return substring_query(spark, store, docs, SUBSTRING_NEEDLE)
+    srv = TrigramServer.from_store(spark, store, docs)
+    try:
+        srv.grep(SUBSTRING_NEEDLE)  # warm serve before churn
+        update_index(
+            spark,
+            docs.filter(F.col("doc_id") % 5 != 0),
+            store,
+            None,
+            delete_missing=True,
+            repack="segment",
+        )
+        info = srv.refresh(store)
+        if not info["reused_units"]:
+            raise AssertionError(
+                "refresh() re-packed every unit on a delete-only update — "
+                "the per-segment cache reuse the gate certifies did not run"
+            )
+        ids = srv.grep(SUBSTRING_NEEDLE)
+    finally:
+        srv.close()
+    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
 
 
 ORACLE_SUBSTRING_CHURN = f"""
@@ -2737,6 +2784,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "custom_topk": (q_custom_topk, _oracle_custom_topk()),
         "substring_search": (q_substring_search, ORACLE_SUBSTRING),
         "regex_search": (q_regex_search, ORACLE_REGEX),
+        "grep_lines": (q_grep_lines, ORACLE_GREP_LINES),
         "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
         "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
         "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),

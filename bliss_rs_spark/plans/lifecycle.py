@@ -1323,6 +1323,35 @@ def load_expansion_tables(
     return rt, dv, dist
 
 
+def checkpoint_seed_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    seed_doc_id: int,
+    cfg: IndexConfig | None = None,
+) -> DataFrame | None:
+    """(doc_id, term, tf) of ONE document out of the doc-keyed tokenize
+    checkpoint (None on checkpoint-less stores).  The doc_id equality is a
+    PUSHED parquet predicate with row-group pruning — an O(1-doc) lookup,
+    vs the full postings pass `filter(doc_id)` costs on the term_bucket-
+    partitioned postings layout."""
+    cfg = cfg or store.config()
+    ckpt = store.load_checkpoint(spark)
+    if ckpt is None:
+        return None
+    return (
+        ckpt.filter(
+            (F.col("doc_id") == F.lit(int(seed_doc_id)))
+            & (F.col("analyzer_version") == cfg.analyzer_version)
+        )
+        .select("doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.terms").alias("term"),
+            F.col("t.tfs").alias("tf"),
+        )
+    )
+
+
 def more_like_this_query(
     spark: SparkSession,
     store: IndexStore,
@@ -1342,21 +1371,7 @@ def more_like_this_query(
 
     meta = store.meta()
     cfg = store.config()
-    seed_terms = None
-    ckpt = store.load_checkpoint(spark)
-    if ckpt is not None:
-        seed_terms = (
-            ckpt.filter(
-                (F.col("doc_id") == F.lit(int(seed_doc_id)))
-                & (F.col("analyzer_version") == cfg.analyzer_version)
-            )
-            .select("doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("t"))
-            .select(
-                "doc_id",
-                F.col("t.terms").alias("term"),
-                F.col("t.tfs").alias("tf"),
-            )
-        )
+    seed_terms = checkpoint_seed_terms(spark, store, seed_doc_id, cfg)
     return more_like_this(
         spark,
         store.load(spark, "postings"),

@@ -225,3 +225,59 @@ def test_phrase_server_named_filter(spark, corpus):
             srv.query(phrase, 5, filter_name="thirds")
     finally:
         srv.close()
+
+
+def test_exhaustive_query_index_honors_allowed(spark, corpus, tmp_path):
+    """query_index(use_wand=False, allowed=...) applies the filter (round-5
+    ADVICE medium: it was silently ignored) — rank- and score-identical to
+    the WAND path under the same filter."""
+    from bliss_rs_spark.plans.lifecycle import build_full, query_index
+    from bliss_rs_spark.sources.index_store import IndexStore
+
+    docs, _, _, _ = corpus
+    store = IndexStore(str(tmp_path / "idx_exh"))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    want = query_index(spark, store, QUERY, 15, use_wand=True, allowed=allowed).collect()
+    got = query_index(spark, store, QUERY, 15, use_wand=False, allowed=allowed).collect()
+    assert want, "vacuous filter"
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+    assert all(r["doc_id"] % 3 == 0 for r in got)
+
+
+def test_phrase_filter_never_collects_raw_ids(spark, corpus):
+    """set_filter's driver traffic is ENCODED per-shard blobs only (round-5
+    verdict #2): the allow frame itself is never collected / toPandas'd,
+    and the broadcast payload is {shard: encoded bytes}."""
+    from bliss_rs_spark.operators.phrase import PhraseServer, build_positional_postings
+
+    docs, _, _, _ = corpus
+    pos = build_positional_postings(docs, CFG)
+    srv = PhraseServer(spark, pos, CFG, packed=True)
+    try:
+        allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "allow frame materialized raw on the driver — set_filter "
+                "must collect only encoded per-shard blobs"
+            )
+
+        allowed.collect = boom
+        allowed.toPandas = boom
+        allowed.toLocalIterator = boom
+        srv.set_filter("thirds", allowed)
+        payload = srv._filters["thirds"].value
+        assert isinstance(payload, dict) and payload
+        assert all(
+            isinstance(s, int) and isinstance(b, bytes)
+            for s, b in payload.items()
+        )
+        # and it still constrains exactly
+        phrase = "posting block codec"
+        got = srv.query(phrase, 1_000_000, filter_name="thirds")
+        assert got and all(d % 3 == 0 for d, _ in got)
+    finally:
+        srv.close()

@@ -243,3 +243,83 @@ def test_search_through_store_with_churn(spark, tmp_path):
     build_full(spark, docs, store2, IndexConfig(), checkpoint=False)
     with pytest.raises(ValueError, match="store_positions"):
         search_index(spark, store2, '"a b"')
+
+
+def test_unknown_field_token_degrades_to_should(env):
+    """`word:rest` tokens whose field is not a doc_stats column (std::vector,
+    URLs) degrade to plain SHOULD terms instead of throwing (round-5
+    ADVICE): scoring equals the same query with the token's analyzed
+    sub-terms as loose words."""
+    idx, pos, order = env
+    spark = idx.postings.sparkSession
+
+    def run(q, **kw):
+        return sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(
+                spark, idx.postings, idx.term_stats, idx.avgdl, q, k=20,
+                cfg=CFG, doc_stats=idx.doc_stats, positional=pos, **kw
+            ).collect()
+        )
+
+    # does not throw, and scores exactly like the spaced form
+    assert run("std::vector merge") == run("std vector merge")
+    assert run("https://example.com/table") == run("https example com table")
+    # without doc_stats: unknown fields still degrade...
+    assert sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, idx.postings, idx.term_stats, idx.avgdl,
+            "std::vector merge", k=20, cfg=CFG,
+        ).collect()
+    ) == run("std vector merge")
+    # ...but KNOWN metadata fields keep demanding doc_stats (real filters)
+    with pytest.raises(ValueError):
+        search(
+            spark, idx.postings, idx.term_stats, idx.avgdl,
+            "lang:rust merge", k=20, cfg=CFG,
+        )
+    # and with doc_stats in hand they still filter
+    assert sorted(_hit_indexes(env, "merge lang:python")) == [1, 4]
+
+
+def test_indexed_expansions_identical_and_pushed(env, tmp_path):
+    """search() over the reversed-term / deletion-variant tables returns
+    byte-identical results to the vocab-scan path, and the stored
+    reversed_terms scan is a PUSHED StringStartsWith (the reason the table
+    exists — round-5 verdict #3)."""
+    from bliss_rs_spark.operators.query_ops import (
+        build_deletion_variants,
+        build_reversed_terms,
+        expand_suffix_indexed,
+    )
+
+    idx, pos, order = env
+    spark = idx.postings.sparkSession
+    rt_path = str(tmp_path / "rterms")
+    build_reversed_terms(idx.term_stats).sort("rterm").write.parquet(rt_path)
+    rt = spark.read.parquet(rt_path)
+    dv = build_deletion_variants(idx.term_stats, max_dist=2).cache()
+
+    q = "*ort merge~1 tabl*"
+    scan = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, idx.postings, idx.term_stats, idx.avgdl, q, k=20, cfg=CFG
+        ).collect()
+    )
+    indexed = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, idx.postings, idx.term_stats, idx.avgdl, q, k=20, cfg=CFG,
+            reversed_terms=rt, variants=dv,
+        ).collect()
+    )
+    assert scan and scan == indexed
+    # plan audit: suffix expansion over the stored table pushes the prefix
+    plan = (
+        expand_suffix_indexed(rt, "ort")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StartsWith(rterm" in plan, plan[:2000]
+    dv.unpersist()

@@ -203,3 +203,35 @@ def test_grep_lines_matches_python_oracle(spark, docs):
     finally:
         srv.close()
         tri.unpersist()
+
+
+def test_grep_regex_and_gram_budget(spark, docs):
+    import re as _re
+
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    srv = TrigramServer(
+        spark, build_trigram_index(docs, lowercase=True), docs,
+        n_doc_shards=4, index_lowercased=True,
+    )
+    try:
+        for pat in [r"return\s+\w+", r"(hash|merge) join", r"def [a-z_]+\("]:
+            want = sorted(
+                r["doc_id"]
+                for r in docs.collect()
+                if _re.search(pat, r["content"])
+            )
+            assert srv.grep_regex(pat) == want, pat
+        # rarest-k budget: fewer blob decodes, candidates stay a superset of
+        # the exact match set (the verify recovers exactness)
+        full = set(srv.grep(NEEDLE))
+        budgeted = {
+            int(r["doc_id"])
+            for r in srv.candidates_df(NEEDLE, max_query_grams=2).collect()
+        }
+        unbudgeted = {
+            int(r["doc_id"]) for r in srv.candidates_df(NEEDLE).collect()
+        }
+        assert budgeted >= unbudgeted >= full
+    finally:
+        srv.close()
