@@ -229,9 +229,35 @@ def main(argv: list[str] | None = None) -> int:
                             print(json.dumps({"refreshed": True, **info}),
                                   flush=True)
                             continue
+                        if text.startswith(":regex "):
+                            pat = text[len(":regex "):]
+                            t0 = time.perf_counter()
+                            ids = server.grep_regex(pat, limit=args.k)
+                            ms = round(1000 * (time.perf_counter() - t0), 1)
+                            print(json.dumps({
+                                "regex": pat, "ms": ms, "doc_ids": ids,
+                            }), flush=True)
+                            continue
+                        ln = text.startswith("-n ")
+                        if ln:
+                            text = text[3:]
                         ci = text.startswith("-i ")
                         needle = text[3:] if ci else text
                         t0 = time.perf_counter()
+                        if ln:
+                            rows = server.grep_lines(
+                                needle, case_insensitive=ci, limit=args.k
+                            ).collect()
+                            ms = round(1000 * (time.perf_counter() - t0), 1)
+                            print(json.dumps({
+                                "needle": needle, "ignore_case": ci, "ms": ms,
+                                "lines": [
+                                    [int(r["doc_id"]), int(r["line_no"]),
+                                     int(r["col"])]
+                                    for r in rows
+                                ],
+                            }), flush=True)
+                            continue
                         ids = server.grep(needle, case_insensitive=ci,
                                           limit=args.k)
                         ms = round(1000 * (time.perf_counter() - t0), 1)

@@ -124,11 +124,42 @@ def test_cli_grep_serve(tmp_path):
     (one,) = _run("grep", "--index", index, "--source", corpus,
                   "--needle", "posting_block_codec")
     qfile = tmp_path / "g.txt"
-    qfile.write_text("posting_block_codec\n-i BLOCKMAXSCORE\nzzz never\n")
-    ready, r1, r2, r3 = _run("serve", "--index", index, "--grep",
-                             "--source", corpus, "--k", "1000",
-                             "--queries", str(qfile))
+    qfile.write_text(
+        "posting_block_codec\n-i BLOCKMAXSCORE\nzzz never\n:refresh\n"
+        "posting_block_codec\n-n posting_block_codec\n"
+        ":regex posting_\\w+_codec\n"
+    )
+    ready, r1, r2, r3, rr, r4, rn, rx = _run(
+        "serve", "--index", index, "--grep",
+        "--source", corpus, "--k", "1000",
+        "--queries", str(qfile))
     assert ready["mode"] == "grep"
     assert r1["doc_ids"] == one["doc_ids"]  # warm == one-shot batch
     assert r2["ignore_case"] and r2["doc_ids"], "-i must hit camelCase docs"
     assert r3["doc_ids"] == []
+    # :refresh on an unchanged store reuses every unit; answers unchanged
+    assert rr["refreshed"] and not rr["rebuilt_units"]
+    assert r4["doc_ids"] == r1["doc_ids"]
+    # -n: line-granularity hits cover the same docs
+    assert sorted({d for d, _, _ in rn["lines"]}) == r1["doc_ids"]
+    assert all(ln >= 1 and col >= 1 for _, ln, col in rn["lines"])
+    # :regex through the warm server (required literal "posting_" prunes;
+    # superset of the exact-needle hits, non-vacuous)
+    assert rx["regex"] == "posting_\\w+_codec"
+    assert set(rx["doc_ids"]) >= set(r1["doc_ids"]) and rx["doc_ids"]
+
+    # batch grep --lines: grep -n text output (path:line:col:line)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "bliss_rs_spark", "grep", "--index", index,
+         "--source", corpus, "--needle", "posting_block_codec", "--lines",
+         "--limit", "50"],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if ":" in l and not l.startswith("{")]
+    assert hits and all("posting_block_codec" in l for l in hits)
+    # path:line_no:col prefix parses
+    for l in hits:
+        _path, line_no, col = l.split(":")[0], l.split(":")[1], l.split(":")[2]
+        assert int(line_no) >= 1 and int(col) >= 1

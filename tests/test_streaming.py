@@ -217,3 +217,54 @@ def test_stream_with_trigrams_serves_grep(spark, tmp_path):
     }
     want = {r["doc_id"] for r in docs.collect() if needle in r["content"]}
     assert got2 == want and len(got2) > len(got1)
+
+
+def test_stream_refreshes_warm_trigram_server(spark, tmp_path):
+    """Streaming x WARM grep serving (round 6): a live TrigramServer
+    refresh()ed after each micro-batch sees the new docs — the base
+    batch's pack cache is reused (only the delta packs), and the match
+    set equals brute force at every step."""
+    from dataclasses import replace
+
+    from bliss_rs_spark.corpus import with_invariants
+    from bliss_rs_spark.operators.trigram import TrigramServer
+
+    cfg = replace(CFG, store_trigrams=True)
+    in_dir = str(tmp_path / "incoming")
+    store = IndexStore(str(tmp_path / "idx"))
+    docs = with_invariants(synth_documents(spark, 100, seed=11)).cache()
+    half1 = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+
+    docs.filter(half1).drop("doc_id", "content_sha256").write.parquet(
+        in_dir + "/batch1"
+    )
+    q = stream_documents_to_index(
+        spark, in_dir + "/*", store, cfg, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    needle = "posting_block_codec"
+    srv = None
+    try:
+        q.processAllAvailable()
+        srv = TrigramServer.from_store(spark, store, docs.filter(half1))
+        got1 = set(srv.grep(needle))
+        want1 = {
+            r["doc_id"]
+            for r in docs.filter(half1).collect()
+            if needle in r["content"]
+        }
+        assert got1 == want1 and got1, "vacuous after batch 1"
+
+        docs.filter(~half1).drop("doc_id", "content_sha256").write.parquet(
+            in_dir + "/batch2"
+        )
+        q.processAllAvailable()
+        info = srv.refresh(store, docs=docs)
+        assert info["reused_units"], "base unit should reuse its pack cache"
+        assert info["rebuilt_units"], "delta segment should pack fresh"
+        got2 = set(srv.grep(needle))
+        want = {r["doc_id"] for r in docs.collect() if needle in r["content"]}
+        assert got2 == want and len(got2) > len(got1)
+    finally:
+        if srv is not None:
+            srv.close()
+        q.stop()
