@@ -2149,6 +2149,29 @@ def q_substring_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
 
 
+def q_substring_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -i over the case-FOLDED (Zoekt-layout) index: the needle is
+    deliberately case-divergent from the corpus (uppercased), so the gate
+    is non-vacuous — a raw-verify bug would return zero rows, a
+    Python-vs-JVM folding bug would drop candidates."""
+    from bliss_rs_spark.operators.trigram import build_trigram_index, substring_search
+
+    docs = _docs_adapted(spark, sf_dir)
+    key = ("trigram_folded", id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    if key not in _IDX_MEMO:
+        _IDX_MEMO[key] = build_trigram_index(docs, lowercase=True).cache()
+    return substring_search(
+        docs, _IDX_MEMO[key], SUBSTRING_NEEDLE.upper(),
+        case_insensitive=True, index_lowercased=True,
+    )
+
+
+ORACLE_SUBSTRING_CI = f"""
+SELECT doc_id FROM documents
+WHERE contains(lower(text), lower('{SUBSTRING_NEEDLE.upper()}'))
+"""
+
+
 def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grep -n: (doc_id, line_no, col, line) of every line containing the
     needle — trigram-AND pruning, the line filter IS the verify
@@ -2785,6 +2808,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "substring_search": (q_substring_search, ORACLE_SUBSTRING),
         "regex_search": (q_regex_search, ORACLE_REGEX),
         "grep_lines": (q_grep_lines, ORACLE_GREP_LINES),
+        "substring_ci": (q_substring_ci, ORACLE_SUBSTRING_CI),
         "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
         "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
         "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),

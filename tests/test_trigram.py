@@ -285,3 +285,43 @@ def test_trigram_server_query_plan_is_shuffle_free(docs, spark):
         assert "Exchange" not in query_side, plan[:2000]
     finally:
         srv.close()
+
+
+# --- hypothesis fuzz: literal-derivation soundness on arbitrary patterns ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ATOMS = st.sampled_from(
+    list("abcxyz_ ().|*+?^$[]{}\\dws" "0123") + ["\\.", "\\(", "\\)", "\\w", "\\s"]
+)
+
+
+@st.composite
+def _patterns(draw):
+    return "".join(draw(st.lists(_ATOMS, min_size=1, max_size=12)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_patterns(), st.text(alphabet="abcxyz_ ().0123", min_size=0, max_size=30))
+def test_required_literals_sound_fuzz(pattern, s):
+    """SOUNDNESS fuzz: for ANY pattern the walker accepts (valid or not)
+    and ANY string that MATCHES it, every derived literal must be a
+    substring of that string — the property that makes trigram pruning
+    with the literals always safe (a violated case would be a candidate
+    false negative grep could never recover)."""
+    import re as _re
+
+    try:
+        rx = _re.compile(pattern)
+    except _re.error:
+        # invalid pattern: regex_required_literals must not crash; its
+        # output is irrelevant (regex_search would fail at rlike anyway)
+        regex_required_literals(pattern)
+        return
+    lits = regex_required_literals(pattern)
+    if not lits:
+        return
+    if rx.search(s):
+        for lit in lits:
+            assert lit in s, (pattern, s, lits)
