@@ -62,6 +62,7 @@ __all__ = [
     "jvm_fold",
     "substring_candidates",
     "substring_search",
+    "substring_search_batch",
     "substring_search_lines",
     "line_hits",
     "regex_required_literals",
@@ -303,6 +304,75 @@ def substring_search_lines(
         cand = substring_candidates(trigram_index, probe, max_query_grams)
         docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
     return line_hits(docs, needle, case_insensitive, content_col)
+
+
+def substring_search_batch(
+    docs: DataFrame,
+    trigram_index: DataFrame,
+    needles: list[tuple[int, str]],
+    content_col: str = "content",
+    index_lowercased: bool = False,
+) -> DataFrame:
+    """A whole needle SET in ONE index scan -> (needle_id, doc_id): the
+    grep sibling of wand_topk_batch / PhraseServer.query_batch.
+
+    Physical shape: a tiny (needle_id, gram) relation broadcast-joins the
+    index scan pruned ONCE to the union of every needle's buckets+grams;
+    one partial+final countDistinct per (needle_id, doc) against each
+    needle's own gram count yields per-needle candidates; the verify is
+    one match-sized join to the docs frame with a COLUMN-wise `contains`
+    (needle rides as a column), so N needles cost one scan + one agg + one
+    join instead of N of each.  Needles under 3 chars are rejected (use
+    substring_search's full-scan fallback per needle).  All needles share
+    the index's case layout (``index_lowercased``); verify is raw."""
+    if not needles:
+        raise ValueError("empty needle set")
+    spark = docs.sparkSession
+    rel_rows = []
+    need_rows = []
+    for nid, needle in needles:
+        probe = jvm_fold(spark, needle) if index_lowercased else needle
+        grams = trigrams_of(probe)
+        if not grams:
+            raise ValueError(
+                f"needle {needle!r} shorter than 3 chars has no trigrams; "
+                "use substring_search's full-scan fallback"
+            )
+        need_rows.append((int(nid), needle, len(grams)))
+        rel_rows.extend((int(nid), g) for g in grams)
+    rel = spark.createDataFrame(rel_rows, "needle_id int, gram string")
+    needs = spark.createDataFrame(
+        need_rows, "needle_id int, needle string, n_grams_needed int"
+    )
+    all_grams = sorted({g for _, g in rel_rows})
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(g,) for g in all_grams], "gram string")
+            .select(
+                F.pmod(F.xxhash64("gram"), F.lit(N_GRAM_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    )
+    hits = trigram_index.filter(
+        F.col("gram_bucket").isin(buckets) & F.col("gram").isin(all_grams)
+    )
+    cand = (
+        hits.join(F.broadcast(rel), "gram")
+        .groupBy("needle_id", "doc_id")
+        .agg(F.countDistinct("gram").alias("n_grams"))
+        .join(F.broadcast(needs), "needle_id")
+        .filter(F.col("n_grams") == F.col("n_grams_needed"))
+        .select("needle_id", "doc_id", "needle")
+    )
+    return (
+        cand.join(docs.select("doc_id", content_col), "doc_id")
+        .filter(F.col(content_col).contains(F.col("needle")))
+        .select("needle_id", "doc_id")
+    )
 
 
 # --- regex: Cox-style required-literal derivation ---------------------------
@@ -917,6 +987,118 @@ class TrigramServer:
             )
 
         return self._scan(grams).mapInPandas(kernel, "doc_id long")
+
+    def candidates_batch_df(
+        self, needles: list[tuple[int, str]]
+    ) -> DataFrame:
+        """DISTRIBUTED (needle_id, doc_id) candidate frame for a whole
+        needle SET in ONE shuffle-free job: the scan filters once to the
+        union of every needle's grams, each (unit, shard) group decodes
+        each gram blob AT MOST ONCE (shared across needles) and runs every
+        needle's rarest-first AND — the grep sibling of
+        PhraseServer.query_batch's shared-source kernel."""
+        probe_grams: dict[int, list[str]] = {}
+        for nid, needle in needles:
+            grams = trigrams_of(self._fold(needle))
+            if not grams:
+                raise ValueError(
+                    f"needle {needle!r} shorter than 3 chars: use a full scan"
+                )
+            probe_grams[int(nid)] = grams
+        if not probe_grams:
+            raise ValueError("empty needle set")
+        union_grams = sorted({g for gs in probe_grams.values() for g in gs})
+        dead_bc = self._dead_bc
+
+        def kernel(batches):
+            groups: dict[tuple[int, int], dict] = {}
+            for pdf in batches:
+                for unit, shard, gram, n, blob in zip(
+                    pdf["unit"], pdf["shard"], pdf["gram"], pdf["n"],
+                    pdf["docs_blob"],
+                ):
+                    groups.setdefault((int(unit), int(shard)), {})[gram] = (
+                        int(n), blob
+                    )
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            dead_lookup = dead_bc.value if dead_bc is not None else {}
+            out_nid: list[np.ndarray] = []
+            out_doc: list[np.ndarray] = []
+            for key, by_gram in groups.items():
+                decoded: dict[str, np.ndarray] = {}
+                dead = None
+                db = dead_lookup.get(key)
+                if db is not None:
+                    dead = _cached_dead_ids(db)
+                for nid, grams in probe_grams.items():
+                    if any(g not in by_gram for g in grams):
+                        continue  # a gram absent from this group entirely
+                    order = sorted(grams, key=lambda g: by_gram[g][0])
+                    cur: np.ndarray | None = None
+                    for g in order:
+                        if g not in decoded:
+                            decoded[g] = decode_doc_ids(bytes(by_gram[g][1]))
+                        d = decoded[g]
+                        cur = d if cur is None else np.intersect1d(
+                            cur, d, assume_unique=True
+                        )
+                        if not len(cur):
+                            break
+                    if cur is None or not len(cur):
+                        continue
+                    if dead is not None:
+                        cur = _mask_sorted(cur, dead)
+                    if len(cur):
+                        out_nid.append(np.full(len(cur), nid, dtype=np.int32))
+                        out_doc.append(cur)
+            yield pd.DataFrame(
+                {
+                    "needle_id": (
+                        np.concatenate(out_nid) if out_nid
+                        else np.empty(0, dtype=np.int32)
+                    ),
+                    "doc_id": (
+                        np.concatenate(out_doc) if out_doc else _EMPTY_I64
+                    ),
+                }
+            )
+
+        return self._scan(union_grams).mapInPandas(
+            kernel, "needle_id int, doc_id long"
+        )
+
+    def grep_batch(
+        self, needles: list[tuple[int, str]], limit: int | None = None
+    ) -> list[tuple[int, int]]:
+        """A whole needle set, warm, in one candidate job + one verify
+        join -> [(needle_id, doc_id)] ordered (needle_id, doc_id), each
+        needle row-identical to grep() (tested).  ``limit`` caps hits PER
+        NEEDLE (rank window over the deterministic doc_id order)."""
+        cand = self.candidates_batch_df(needles)
+        nrel = self.spark.createDataFrame(
+            [(int(nid), n) for nid, n in needles], "needle_id int, needle string"
+        )
+        out = (
+            self._docs.select("doc_id", self._content_col)
+            .join(cand, "doc_id")
+            .join(F.broadcast(nrel), "needle_id")
+            .filter(F.col(self._content_col).contains(F.col("needle")))
+            .select("needle_id", "doc_id")
+        )
+        if limit is not None:
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.partitionBy("needle_id").orderBy("doc_id")
+            )
+            out = out.withColumn("rn", rn).filter(
+                F.col("rn") <= F.lit(int(limit))
+            ).drop("rn")
+        return sorted(
+            (int(r["needle_id"]), int(r["doc_id"]))
+            for r in out.collect()
+        )
 
     def candidates(self, needle: str) -> list[int]:
         """Sorted candidate doc_ids — test/debug convenience ONLY (collects

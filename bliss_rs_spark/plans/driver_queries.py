@@ -2172,6 +2172,28 @@ WHERE contains(lower(text), lower('{SUBSTRING_NEEDLE.upper()}'))
 """
 
 
+GREP_BATCH_NEEDLES = [(1, SUBSTRING_NEEDLE), (2, "value table"), (3, "slow filter")]
+
+
+def q_grep_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grep: the whole needle set in ONE index scan + one agg + one
+    column-wise verify (operators/trigram.py:substring_search_batch) —
+    row-identical to running each needle alone."""
+    from bliss_rs_spark.operators.trigram import substring_search_batch
+
+    docs = _docs_adapted(spark, sf_dir)
+    return substring_search_batch(
+        docs, _trigram_index(spark, sf_dir), GREP_BATCH_NEEDLES
+    )
+
+
+ORACLE_GREP_BATCH = "\nUNION ALL\n".join(
+    f"SELECT {nid}::INTEGER AS needle_id, doc_id FROM documents "
+    f"WHERE contains(text, '{needle}')"
+    for nid, needle in GREP_BATCH_NEEDLES
+)
+
+
 def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grep -n: (doc_id, line_no, col, line) of every line containing the
     needle — trigram-AND pruning, the line filter IS the verify
@@ -2809,6 +2831,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "regex_search": (q_regex_search, ORACLE_REGEX),
         "grep_lines": (q_grep_lines, ORACLE_GREP_LINES),
         "substring_ci": (q_substring_ci, ORACLE_SUBSTRING_CI),
+        "grep_batch": (q_grep_batch, ORACLE_GREP_BATCH),
         "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
         "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
         "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),

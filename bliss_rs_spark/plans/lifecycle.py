@@ -1177,6 +1177,22 @@ def substring_query_lines(
     )
 
 
+def substring_query_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    needles: list[tuple[int, str]],
+) -> DataFrame:
+    """A whole grep needle SET from the CURRENT snapshot in ONE index scan
+    -> (needle_id, doc_id) — the grep sibling of query_index_batch
+    (operators/trigram.py:substring_search_batch; store layout is folded)."""
+    from bliss_rs_spark.operators.trigram import substring_search_batch
+
+    return substring_search_batch(
+        docs, _store_trigram(spark, store), needles, index_lowercased=True
+    )
+
+
 def regex_query(
     spark: SparkSession, store: IndexStore, docs: DataFrame, pattern: str
 ) -> DataFrame:

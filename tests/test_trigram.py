@@ -325,3 +325,44 @@ def test_required_literals_sound_fuzz(pattern, s):
     if rx.search(s):
         for lit in lits:
             assert lit in s, (pattern, s, lits)
+
+
+def test_substring_search_batch_matches_per_needle(docs, tri, spark):
+    """Batch grep (one scan, N needles) is row-identical to N independent
+    substring_search calls; unknown needles contribute nothing."""
+    from bliss_rs_spark.operators.trigram import substring_search_batch
+
+    needles = [(1, "hello world"), (2, "hash join"), (3, "zzz never here")]
+    got = sorted(
+        (int(r["needle_id"]), int(r["doc_id"]))
+        for r in substring_search_batch(docs, tri, needles).collect()
+    )
+    want = sorted(
+        (nid, int(r["doc_id"]))
+        for nid, needle in needles
+        for r in substring_search(docs, tri, needle).collect()
+    )
+    assert got == want and got, "vacuous batch"
+    with pytest.raises(ValueError, match="trigrams"):
+        substring_search_batch(docs, tri, [(1, "ab")])
+    with pytest.raises(ValueError, match="empty"):
+        substring_search_batch(docs, tri, [])
+
+
+def test_substring_search_batch_folded_layout(docs, spark):
+    from bliss_rs_spark.operators.trigram import substring_search_batch
+
+    folded = build_trigram_index(docs, lowercase=True).cache()
+    # case-SENSITIVE queries over the folded layout stay exact
+    needles = [(7, "HelloWorld"), (8, "hash join")]
+    got = sorted(
+        (int(r["needle_id"]), int(r["doc_id"]))
+        for r in substring_search_batch(
+            docs, folded, needles, index_lowercased=True
+        ).collect()
+    )
+    want = sorted(
+        (nid, i) for nid, needle in needles for i, s in DOCS if needle in s
+    )
+    assert got == want and got
+    folded.unpersist()

@@ -238,3 +238,57 @@ def test_grep_regex_and_gram_budget(spark, docs):
         assert budgeted >= unbudgeted >= full
     finally:
         srv.close()
+
+
+def test_grep_batch_matches_per_needle(spark, docs):
+    """Warm batch grep: one shared-decode kernel job for N needles, each
+    needle row-identical to grep(); per-needle limit is deterministic."""
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    srv = TrigramServer(
+        spark, build_trigram_index(docs, lowercase=True), docs,
+        n_doc_shards=4, index_lowercased=True,
+    )
+    try:
+        needles = [(1, NEEDLE), (2, "value table"), (3, "zzz never here")]
+        got = srv.grep_batch(needles)
+        want = sorted(
+            (nid, d) for nid, n in needles for d in srv.grep(n)
+        )
+        assert got == want and got, "vacuous batch"
+        # per-needle limit = first-k of the deterministic per-needle order
+        lim = srv.grep_batch(needles, limit=3)
+        want_lim = sorted(
+            (nid, d) for nid, n in needles for d in srv.grep(n, limit=3)
+        )
+        assert lim == want_lim
+        with pytest.raises(ValueError, match="full scan"):
+            srv.grep_batch([(1, "ab")])
+    finally:
+        srv.close()
+
+
+def test_grep_batch_through_churned_store(spark, docs, tmp_path):
+    """Batch grep through a warm REFRESHED from_store server: dead sets
+    mask every needle's candidates."""
+    store = IndexStore(str(tmp_path / "idx"))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    srv = TrigramServer.from_store(spark, store, docs)
+    try:
+        kept = docs.filter(F.col("doc_id") % 3 != 0)
+        update_index(
+            spark, kept, store, CFG, delete_missing=True, repack="segment"
+        )
+        srv.refresh(store)
+        needles = [(1, NEEDLE), (2, "value table")]
+        got = srv.grep_batch(needles)
+        want = sorted(
+            (nid, r["doc_id"])
+            for nid, n in needles
+            for r in kept.collect()
+            if n in r["content"]
+        )
+        assert got == want and got, "vacuous"
+        assert all(d % 3 != 0 for _, d in got)
+    finally:
+        srv.close()
