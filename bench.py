@@ -145,6 +145,12 @@ def main() -> None:
             glat.append(time.perf_counter() - t0)
         glat.sort()
         reps.setdefault("grep_serve_p50", []).append(glat[len(glat) // 2])
+        # batch grep: the same 4 indexable needles in ONE kernel job —
+        # compare against 4x grep_serve_p50 for the amortization story
+        timed("grep_batch_4", lambda: gsrv.grep_batch(
+            [(1, "fast merge"), (2, "value table"), (3, "hash join"),
+             (4, "key agg")]
+        ))
         gsrv.close()
         timed("facet_counts", lambda: facet_counts(
             spark, idx["postings"], docs.select("doc_id", "lang"),

@@ -269,7 +269,7 @@ def test_phrase_filter_never_collects_raw_ids(spark, corpus):
         allowed.toPandas = boom
         allowed.toLocalIterator = boom
         srv.set_filter("thirds", allowed)
-        payload = srv._filters["thirds"].value
+        payload = srv._filters["thirds"][0].value
         assert isinstance(payload, dict) and payload
         assert all(
             isinstance(s, int) and isinstance(b, bytes)
@@ -279,5 +279,38 @@ def test_phrase_filter_never_collects_raw_ids(spark, corpus):
         phrase = "posting block codec"
         got = srv.query(phrase, 1_000_000, filter_name="thirds")
         assert got and all(d % 3 == 0 for d, _ in got)
+    finally:
+        srv.close()
+
+
+def test_phrase_filter_deny_mode(spark, corpus):
+    """Complement route (round-5 verdict #2): a NON-selective predicate
+    registers its small complement with mode='deny' — results identical to
+    the equivalent allow filter, but driver/broadcast traffic sizes by the
+    excluded side."""
+    from bliss_rs_spark.operators.phrase import PhraseServer, build_positional_postings
+
+    docs, _, _, _ = corpus
+    pos = build_positional_postings(docs, CFG)
+    srv = PhraseServer(spark, pos, CFG, packed=True)
+    try:
+        keep_pred = F.col("doc_id") % 3 != 0  # "non-selective": keeps 2/3
+        srv.set_filter("most", docs.filter(keep_pred).select("doc_id"))
+        srv.set_filter(
+            "most_deny", docs.filter(~keep_pred).select("doc_id"), mode="deny"
+        )
+        phrase = "posting block codec"
+        via_allow = srv.query(phrase, 1_000_000, filter_name="most")
+        via_deny = srv.query(phrase, 1_000_000, filter_name="most_deny")
+        assert via_allow == via_deny and via_deny, "vacuous"
+        assert all(d % 3 != 0 for d, _ in via_deny)
+        # proximity path rides the same mode
+        w_allow = srv.query_window("codec posting", 1_000_000, filter_name="most")
+        w_deny = srv.query_window(
+            "codec posting", 1_000_000, filter_name="most_deny"
+        )
+        assert w_allow == w_deny and w_deny
+        with pytest.raises(ValueError, match="mode"):
+            srv.set_filter("bad", docs.select("doc_id"), mode="nope")
     finally:
         srv.close()
