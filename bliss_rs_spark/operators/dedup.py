@@ -144,11 +144,21 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("_", F.sort_array(F.collect_list(F.col("minhash")))).alias("bkey"))
     )
+    # candidate pairs by GROUPING each (band, bkey) bucket and exploding the
+    # within-bucket pairs — identical pair set to the former band_keys
+    # self-join, but the signature pipeline (shingle explode + 8-way min agg)
+    # is computed ONCE instead of once per join side (the self-join's build
+    # side sat under a BroadcastExchange, so no ReusedExchange applied;
+    # plans/r07/minhash_lsh_pairs_before.txt shows both full pipelines).
+    # Bucket arrays are LSH-bounded (a bucket is a near-dup cluster), so the
+    # within-bucket explode is the same quadratic the join already paid.
     cand = (
-        band_keys.alias("x")
-        .join(band_keys.alias("y"), ["band", "bkey"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        band_keys.groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -378,9 +388,13 @@ def simhash64(docs: DataFrame, content_col: str = "content") -> DataFrame:
 
     bit_j(doc) = 1 iff sum over terms of tf * sign(bit_j(h(term))) > 0,
     h = md5_int64 (60 effective bits; top 4 always 0 — acceptable, documented).
-    Built entirely from JVM expressions: explode tokens -> explode 64 bit
-    positions is a wide but narrow-shuffle plan; the per-(doc, bit) partial
-    sums combine map-side.
+    Built entirely from JVM expressions as 64 parallel SUM columns over one
+    groupBy(doc_id) — the minhash wide-agg idiom.  The previous shape
+    exploded ``sequence(0, 63)`` per (doc, term) row (64x the row count
+    through a Generate) and paid an extra (doc, bit) exchange; the wide agg
+    evaluates the same 64 conditional sums inside codegen with map-side
+    partial aggregation and one fewer shuffle (guide §2.3/§2.4; identical
+    integer arithmetic, bit-exact to the DuckDB oracle).
     """
     from bliss_rs_spark.functions.tokenizer import tokenize_sql_spark
 
@@ -390,22 +404,19 @@ def simhash64(docs: DataFrame, content_col: str = "content") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.expr(md5_int64_spark("term")))
     )
-    bits = toks.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.expr("case when (shiftright(h, bit) & 1) = 1 then tf else -tf end"),
+    sums = [
+        F.sum(
+            F.expr(f"case when (shiftright(h, {j}) & 1) = 1 then tf else -tf end")
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    bitvals = " + ".join(
+        f"(case when s{j} > 0 then shiftleft(cast(1 as bigint), {j}) "
+        f"else cast(0 as bigint) end)"
+        for j in range(64)
     )
     return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), bit) else cast(0 as bigint) end"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        toks.groupBy("doc_id")
+        .agg(*sums)
+        .select("doc_id", F.expr(bitvals).alias("simhash"))
     )

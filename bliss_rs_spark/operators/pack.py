@@ -117,25 +117,28 @@ def build_doc_map(postings_sharded: DataFrame) -> DataFrame:
     delta+varbyte compressed.  Ordinal i <-> doc_ids[i]; the translation
     table for ordinal-compressed posting blocks.
 
-    Input must carry a ``shard`` column; the distinct+group is shard-keyed so
-    memory per task is bounded by shard size (which scales with
-    cfg.n_doc_shards, a config knob, not code)."""
+    Input must carry a ``shard`` column.  ONE exchange: collect_set dedups
+    map-side (partial aggregation) and groups by shard in the same shuffle —
+    the previous distinct + groupBy.applyInPandas shape paid two exchanges
+    for the identical sorted-unique result (guide §2.4).  Per-task memory is
+    still bounded by shard size (collect_set holds one shard's distinct ids,
+    exactly like the old per-group pandas frame), which scales with
+    cfg.n_doc_shards, a config knob, not code."""
 
-    def pack_map(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "n_docs": [len(ids)],
-                "doc_ids": [encode_doc_ids(ids)],
-            }
+    @F.pandas_udf("binary")
+    def enc(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda a: encode_doc_ids(np.asarray(a, dtype=np.int64))
         )
 
     return (
-        postings_sharded.select("shard", "doc_id")
-        .distinct()
-        .groupBy("shard")
-        .applyInPandas(pack_map, DOC_MAP_SCHEMA)
+        postings_sharded.groupBy("shard")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .select(
+            "shard",
+            F.size("ids").alias("n_docs"),
+            enc("ids").alias("doc_ids"),
+        )
     )
 
 
@@ -443,5 +446,11 @@ def build_packed_index_full(
     sharded = postings.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
     )
-    doc_map = build_doc_map(sharded)
+    # persisted here because every caller consumes doc_map at least twice
+    # (once inside the ordinalize cogroup, once as the returned frame) and
+    # each pull is otherwise a full postings aggregation (guide §5).  The
+    # frame is n_shards rows (bytes ~ compressed shard id blobs); callers
+    # unpersist when done — a leaked handle is bounded by corpus id bytes /
+    # ~9x varbyte compression, not corpus content.
+    doc_map = build_doc_map(sharded).persist()
     return ordinalize_packed(packed, doc_map), doc_map

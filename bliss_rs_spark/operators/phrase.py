@@ -950,7 +950,10 @@ class PhraseServer:
             cfg_s,
             packed=True,
             units=units,
-            tombstones=store.tombstone_frame(spark),
+            tombstones=(
+                store.tombstone_frame(spark)
+                if store.has_tombstones(spark) else None
+            ),
         )
         srv._unit_fps = fps
         # pin the snapshot whose segments (and their derived pos_units
@@ -1003,7 +1006,10 @@ class PhraseServer:
                 f.unpersist()
         self._unit_frames = new_frames
         self._unit_fps = fps
-        self._set_tombstones(store.tombstone_frame(self.spark))
+        self._set_tombstones(
+            store.tombstone_frame(self.spark)
+            if store.has_tombstones(self.spark) else None
+        )
         # re-point the gc() pin: every kept unit's segment is referenced by
         # the NEW snapshot (units come from its manifest), so the old pin
         # can be released once the new one is placed

@@ -846,7 +846,10 @@ class TrigramServer:
             index_lowercased=True,  # the store's folded layout
             target_partitions=target_partitions,
             units=units,
-            tombstones=store.tombstone_frame(spark),
+            tombstones=(
+                store.tombstone_frame(spark)
+                if store.has_tombstones(spark) else None
+            ),
         )
         srv._unit_fps = fps
         srv._pin = store.pin_snapshot(
@@ -893,7 +896,10 @@ class TrigramServer:
                 f.unpersist()
         self._unit_frames = new_frames
         self._unit_fps = fps
-        self._set_tombstones(store.tombstone_frame(self.spark))
+        self._set_tombstones(
+            store.tombstone_frame(self.spark)
+            if store.has_tombstones(self.spark) else None
+        )
         if docs is not None:
             old_docs = self._docs
             self._docs = docs.persist()

@@ -1011,7 +1011,7 @@ class WandServer:
             # the FRAME, not a collected dict: tombstones stay distributed
             # (churn at 10^9-doc scale never lands on the driver)
             tombstones=store.load(spark, "tombstones")
-            if "segments" in store.meta()
+            if "segments" in store.meta() and store.has_tombstones(spark)
             else None,
         )
         srv._unit_fps = store.packed_unit_fingerprints()
@@ -1135,7 +1135,9 @@ class WandServer:
             old_ts.unpersist()
             self._ts_fp = new_ts_fp
         self._set_tombstones(
-            store.load(spark, "tombstones") if "segments" in meta else None
+            store.load(spark, "tombstones")
+            if "segments" in meta and store.has_tombstones(spark)
+            else None
         )
         # registered filters re-shard against the new unit set (doc_ids are
         # stable across snapshots, so the retained allow frame stays valid)

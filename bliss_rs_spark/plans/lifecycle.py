@@ -48,7 +48,7 @@ from bliss_rs_spark.operators.pack import (
     ordinalize_packed,
     unpack_postings,
 )
-from bliss_rs_spark.sources.index_store import IndexStore
+from bliss_rs_spark.sources.index_store import IndexStore, _run_parallel
 
 
 
@@ -108,12 +108,19 @@ def _tokenize_with_checkpoint(
         ).drop("_sha_key")
     else:
         todo = docs
-    if todo.limit(1).count() > 0:
-        tokenized = tokenize_documents(todo, cfg).withColumn(
-            "analyzer_version", F.lit(cfg.analyzer_version)
-        )
-        store.append_checkpoint(tokenized)
+    # no emptiness pre-probe: it cost the same anti-join scan as the append
+    # itself, so the common (non-empty delta) case paid the scan twice —
+    # one job, not two (guide §1.2: remove passes).  An empty todo appends
+    # nothing and is harmless.
+    tokenized = tokenize_documents(todo, cfg).withColumn(
+        "analyzer_version", F.lit(cfg.analyzer_version)
+    )
+    store.append_checkpoint(tokenized)
     ckpt = store.load_checkpoint(spark)
+    if ckpt is None:
+        # empty corpus and nothing ever checkpointed: the (empty) tokenized
+        # frame is already correctly shaped
+        return tokenized
     # restrict to the incoming corpus (checkpoint may hold rows from docs
     # that have since vanished) and to the current analyzer version
     return ckpt.filter(F.col("analyzer_version") == cfg.analyzer_version).withColumn(
@@ -187,27 +194,34 @@ def _write_segment_from_tokenized(
     seg_name: str,
 ) -> str:
     """Tokenized rows -> one immutable segment on disk.  The tokenizer runs
-    exactly once (during the segment write); every downstream consumer reads
-    the written parquet back instead of re-evaluating the UDF lineage."""
-    ok, errors = split_errors(tokenized)
-    doc_stats = build_doc_stats(ok)
-    frames = {
-        "postings": build_postings(ok, cfg),
-        "doc_stats": doc_stats,
-        "manifest": _manifest_rows(doc_stats, errors, cfg),
-        "errors": errors,
-    }
-    if cfg.store_positions:
-        from bliss_rs_spark.operators.phrase import build_positional_postings
+    exactly once: ``tokenized`` is persisted for the duration of the 4-6
+    frame writes (each write is its own Spark action — without the cache a
+    checkpoint-less build re-ran the pandas-UDF tokenizer once PER FRAME,
+    and the checkpoint path re-ran its anti-join scan per frame; guide §5
+    caching-for-reuse, measured 32 -> ~20 jobs on snapshot_build)."""
+    tokenized = tokenized.persist()
+    try:
+        ok, errors = split_errors(tokenized)
+        doc_stats = build_doc_stats(ok)
+        frames = {
+            "postings": build_postings(ok, cfg),
+            "doc_stats": doc_stats,
+            "manifest": _manifest_rows(doc_stats, errors, cfg),
+            "errors": errors,
+        }
+        if cfg.store_positions:
+            from bliss_rs_spark.operators.phrase import build_positional_postings
 
-        frames["positional"] = build_positional_postings(ok, cfg)
-    if cfg.store_trigrams:
-        from bliss_rs_spark.operators.trigram import build_trigram_index
+            frames["positional"] = build_positional_postings(ok, cfg)
+        if cfg.store_trigrams:
+            from bliss_rs_spark.operators.trigram import build_trigram_index
 
-        # folded layout (Zoekt): one index serves case-sensitive (exact —
-        # folded candidates are a superset, verify stays raw) AND grep -i
-        frames["trigram"] = build_trigram_index(ok, "content", lowercase=True)
-    return store.write_segment(frames, seg_name)
+            # folded layout (Zoekt): one index serves case-sensitive (exact —
+            # folded candidates are a superset, verify stays raw) AND grep -i
+            frames["trigram"] = build_trigram_index(ok, "content", lowercase=True)
+        return store.write_segment(frames, seg_name)
+    finally:
+        tokenized.unpersist()
 
 
 def _read_segment(spark: SparkSession, store: IndexStore, seg: str, frame: str) -> DataFrame:
@@ -250,6 +264,12 @@ def _assemble_and_commit(
     # one job, never a second full postings scan just for metrics
     n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
     packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
+    if doc_map is not None:
+        # consumed 3x (packed ordinalization, snapshot write, skew metric),
+        # each pull otherwise a full postings distinct+group — cache the
+        # n_shards-row result (guide §5; one row per shard, bytes ~ shard
+        # doc-id blobs)
+        doc_map = doc_map.cache()
 
     elapsed = max(time.perf_counter() - t_start, 1e-9)
     metrics = {
@@ -287,6 +307,9 @@ def _assemble_and_commit(
         metrics,
         expected_parent=parent,
     )
+    term_stats.unpersist()
+    if doc_map is not None:
+        doc_map.unpersist()
     return name
 
 
@@ -423,17 +446,14 @@ def update_index(
     # the update path is driver-job-bound at small deltas.  No broadcast
     # hint: both sides are corpus-sized in a full-corpus re-supply; AQE
     # picks the strategy.
-    row = (
+    skip_check = (
         incoming.join(
             done_ok.withColumn("_done", F.lit(1)),
             ["doc_id", "content_sha256"],
             "left",
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_done").alias("skip"))
-        .collect()[0]
     )
-    n_in = int(row["n"])
-    n_delta = n_in - int(row["skip"] or 0)
     delta = incoming.join(done_ok, ["doc_id", "content_sha256"], "left_anti").cache()
 
     # removed = docs whose existing rows must die: changed docs (old version
@@ -448,11 +468,18 @@ def update_index(
     # one job for both removal counts: total and how many were live ok docs
     # (the n_docs decrement; failed docs never contributed)
     ok_ids = done_ok.select("doc_id").distinct()
-    rem_row = (
+    rem_check = (
         removed.join(ok_ids.withColumn("_ok", F.lit(1)), "doc_id", "left")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_ok").alias("n_ok"))
-        .collect()[0]
     )
+    # the two probe aggs are independent (both read only the cached
+    # incoming/delta and the manifest) — overlap them from driver threads
+    # (guide §2.6) instead of paying two serial scheduling round-trips
+    row, rem_row = (
+        r[0] for r in _run_parallel([skip_check.collect, rem_check.collect])
+    )
+    n_in = int(row["n"])
+    n_delta = n_in - int(row["skip"] or 0)
     n_removed = int(rem_row["n"])
     n_removed_ok = int(rem_row["n_ok"] or 0)
 
@@ -479,10 +506,16 @@ def update_index(
         segments.append(seg_name)
         new_doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
         new_postings = _read_segment(spark, store, seg_name, "postings")
-        row = new_doc_stats.agg(
+
+    # deferred thunk: the new segment's (n_docs, sum_dl) agg — overlapped
+    # below with the packed-policy probes (guide §2.6)
+    agg_new = (
+        new_doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-        ).collect()[0]
-        n_new_ok, sum_dl_new = int(row["n"]), int(row["sdl"] or 0)
+        ).collect
+        if n_delta > 0
+        else None
+    )
 
     # --- tombstones ------------------------------------------------------------
     tombstones = store.load(spark, "tombstones")
@@ -523,9 +556,22 @@ def update_index(
             touched = touched.unionByName(
                 new_postings.select("doc_id").distinct()
             ).distinct()
-        delta_shards = sorted(
-            r[0] for r in touched.select(shard_col.alias("s")).distinct().collect()
-        )
+
+        def _shards():
+            return sorted(
+                r[0]
+                for r in touched.select(shard_col.alias("s")).distinct().collect()
+            )
+
+        # the new-segment stats agg and the touched-shards probe are
+        # independent reads of the just-written segment — overlap them
+        if agg_new is not None:
+            new_row, delta_shards = _run_parallel([agg_new, _shards])
+            n_new_ok = int(new_row[0]["n"])
+            sum_dl_new = int(new_row[0]["sdl"] or 0)
+            agg_new = None
+        else:
+            delta_shards = _shards()
         old_packed = store.load(spark, "packed").filter(
             F.col("shard").isin(delta_shards)
         )
@@ -552,8 +598,19 @@ def update_index(
         # were already discounted when they were tombstoned).
         assert df_source in ("auto", "checkpoint", "packed"), df_source
         delta_shards = []
-        removed_flat = None
-        if n_removed > 0:
+
+        def _resolve_removed_flat():
+            """-> (removed_flat, sum_dl_pre, df_src) — may run its own
+            collects; independent of the new-segment stats agg, so the two
+            overlap below (guide §2.6)."""
+            if n_removed == 0:
+                return (
+                    spark.createDataFrame(
+                        [], "shard int, term string, doc_id long, tf long, dl long"
+                    ),
+                    0,  # nothing removed: skip the empty-agg job
+                    None,
+                )
             if df_source in ("auto", "checkpoint") and checkpoint:
                 ckpt_flat = _removed_flat_from_checkpoint(
                     spark, store, removed, done_ok, cfg
@@ -568,87 +625,86 @@ def update_index(
                         .collect()[0]
                     )
                     if int(r["n"]) == n_removed_ok:
-                        removed_flat = ckpt_flat
-                        sum_dl_removed_pre = int(r["sdl"] or 0)
                         to_unpersist.append(ckpt_flat)
-                        df_src_used = "checkpoint"
-                    else:
-                        ckpt_flat.unpersist()
-                if removed_flat is None and df_source == "checkpoint":
+                        return (ckpt_flat, int(r["sdl"] or 0), "checkpoint")
+                    ckpt_flat.unpersist()
+                if df_source == "checkpoint":
                     raise ValueError(
                         "df_source='checkpoint' but the tokenize checkpoint "
                         "does not cover every removed doc; use 'auto' or 'packed'"
                     )
-            if removed_flat is None:
-                rem_shards = sorted(
-                    r[0] for r in removed.select(shard_col.alias("s")).distinct().collect()
-                )
-                for seq, packed_df, dm_df in units:
-                    live_rem = removed.join(
-                        F.broadcast(
-                            old_tomb_df.filter(
-                                F.col("before_seq") > F.lit(int(seq))
-                            ).select("doc_id")
-                        ),
-                        "doc_id",
-                        "left_anti",
-                    )
-                    part = unpack_postings(
-                        packed_df.filter(F.col("shard").isin(rem_shards)),
-                        dm_df.filter(F.col("shard").isin(rem_shards))
-                        if dm_df is not None
-                        else None,
-                    ).join(F.broadcast(live_rem), "doc_id", "left_semi")
-                    removed_flat = (
-                        part if removed_flat is None else removed_flat.unionByName(part)
-                    )
-                removed_flat = removed_flat.cache()
-                to_unpersist.append(removed_flat)
-                df_src_used = "packed_decode"
-        else:
-            removed_flat = spark.createDataFrame(
-                [], "shard int, term string, doc_id long, tf long, dl long"
+            rem_shards = sorted(
+                r[0]
+                for r in removed.select(shard_col.alias("s")).distinct().collect()
             )
-            sum_dl_removed_pre = 0  # nothing removed: skip the empty-agg job
+            rf = None
+            for seq, packed_df, dm_df in units:
+                live_rem = removed.join(
+                    F.broadcast(
+                        old_tomb_df.filter(
+                            F.col("before_seq") > F.lit(int(seq))
+                        ).select("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                )
+                part = unpack_postings(
+                    packed_df.filter(F.col("shard").isin(rem_shards)),
+                    dm_df.filter(F.col("shard").isin(rem_shards))
+                    if dm_df is not None
+                    else None,
+                ).join(F.broadcast(live_rem), "doc_id", "left_semi")
+                rf = part if rf is None else rf.unionByName(part)
+            rf = rf.cache()
+            to_unpersist.append(rf)
+            return (rf, None, "packed_decode")
+
+        if agg_new is not None:
+            new_row, resolved = _run_parallel([agg_new, _resolve_removed_flat])
+            n_new_ok = int(new_row[0]["n"])
+            sum_dl_new = int(new_row[0]["sdl"] or 0)
+            agg_new = None
+        else:
+            resolved = _resolve_removed_flat()
+        removed_flat, sum_dl_removed_pre, df_src_used = resolved
 
     # --- exact incremental term stats -------------------------------------------
     n_docs = int(meta["n_docs"]) - n_removed_ok + n_new_ok
     if sum_dl_removed_pre is not None:
-        sum_dl_removed = sum_dl_removed_pre
+        sum_dl_agg = None
     else:
-        sum_dl_removed = int(
+        # deferred: collected in the overlapped stats batch below
+        sum_dl_agg = (
             removed_flat.groupBy("doc_id")
             .agg(F.max("dl").alias("dl"))
             .agg(F.sum("dl"))
-            .collect()[0][0]
-            or 0
+            .collect
         )
-    sum_dl = int(meta.get("sum_dl", round(meta["avgdl"] * meta["n_docs"]))) \
-        - sum_dl_removed + sum_dl_new
 
+    # df' = df + df(delta) - df(removed), folded into ONE signed union +
+    # groupBy + a single full join against old_ts (was: two chained full
+    # joins — one more exchange round per update for identical arithmetic;
+    # guide §2.4 remove shuffles outright)
     bucket_of_term = F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int")
-    df_minus = (
-        removed_flat.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("minus"))
-        .withColumn("term_bucket", bucket_of_term)
+    delta_rows = removed_flat.select(
+        "term", bucket_of_term.alias("term_bucket"), F.lit(-1).alias("d")
     )
     if new_postings is not None:
-        df_plus = new_postings.groupBy("term", "term_bucket").agg(
-            F.count(F.lit(1)).alias("plus")
+        delta_rows = delta_rows.unionByName(
+            new_postings.select("term", "term_bucket", F.lit(1).alias("d"))
         )
-    else:
-        df_plus = df_minus.select("term", "term_bucket", F.lit(0).alias("plus")).limit(0)
+    df_delta = delta_rows.groupBy("term", "term_bucket").agg(
+        F.sum("d").alias("delta")
+    )
     old_ts = store.load(spark, "term_stats").select("term", "term_bucket", "df")
     merged = (
-        old_ts.join(df_plus, ["term", "term_bucket"], "full")
-        .join(df_minus, ["term", "term_bucket"], "full")
+        old_ts.join(df_delta, ["term", "term_bucket"], "full")
         .select(
             "term",
             "term_bucket",
             (
                 F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("plus"), F.lit(0))
-                - F.coalesce(F.col("minus"), F.lit(0))
+                + F.coalesce(F.col("delta"), F.lit(0))
             ).alias("df"),
         )
         .filter(F.col("df") > 0)
@@ -661,7 +717,6 @@ def update_index(
             + F.lit(1.0)
         ),
     ).cache()
-    n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
 
     # --- build the new packed data under the chosen policy ----------------------
     old_snapshot = parent
@@ -678,7 +733,11 @@ def update_index(
         packed_delta = build_packed_index(repack_input, term_stats, n_docs, avgdl, cfg)
         if cfg.ordinal_docids:
             sharded = repack_input.withColumn("shard", shard_col)
-            doc_map_delta = build_doc_map(sharded)
+            # consumed 3x (ordinalize, doc_map write, skew metric) — cache
+            # the tiny per-shard result instead of re-running the repack
+            # input's distinct+group each time (guide §5)
+            doc_map_delta = build_doc_map(sharded).cache()
+            to_unpersist.append(doc_map_delta)
             packed_delta = ordinalize_packed(packed_delta, doc_map_delta)
             doc_map_out = old_doc_map.filter(
                 ~F.col("shard").isin(delta_shards)
@@ -693,7 +752,9 @@ def update_index(
         # The repack itself already dropped the removed docs physically, so
         # keeping the old watermark is exact.
         base_seq_new = next_seq if n_delta > 0 else base_seq_old
+        pack_write = None
     else:
+        pack_write = None
         if new_postings is not None:
             seg_packed = build_packed_index(
                 new_postings.select("term", "doc_id", "tf", "dl"),
@@ -701,15 +762,46 @@ def update_index(
             )
             seg_dm = None
             if cfg.ordinal_docids:
-                seg_dm = build_doc_map(new_postings.withColumn("shard", shard_col))
+                # consumed 2x (ordinalize + the pack's doc_map write)
+                seg_dm = build_doc_map(
+                    new_postings.withColumn("shard", shard_col)
+                ).cache()
+                to_unpersist.append(seg_dm)
                 seg_packed = ordinalize_packed(seg_packed, seg_dm)
-            store.write_segment_pack(seg_name, seg_packed, seg_dm)
+            # deferred: the segment-pack write overlaps the stats batch below
+            pack_write = (
+                lambda sp=seg_packed, sd=seg_dm:
+                store.write_segment_pack(seg_name, sp, sd)
+            )
         from bliss_rs_spark.operators.pack import PACKED_SCHEMA
 
         packed_delta = spark.createDataFrame([], PACKED_SCHEMA)
         if cfg.ordinal_docids:
             doc_map_out = old_doc_map  # unchanged; vocab-of-shards-sized rewrite
         carry_shards = base_shards  # the whole base is hard-linked
+
+    # --- overlapped stats/write batch (guide §2.6): the term-stats bucket
+    # agg, the removed-docs sum_dl agg, the doc-shard skew metric and (in
+    # segment mode) the segment-pack write are mutually independent actions
+    batch = [lambda: _bucket_weight_stats(term_stats, "term_bucket", "df")]
+    if sum_dl_agg is not None:
+        batch.append(sum_dl_agg)
+    if doc_map_out is not None:
+        batch.append(lambda: _doc_shard_skew(doc_map_out))
+    if pack_write is not None:
+        batch.append(pack_write)
+    results = _run_parallel(batch)
+    i = 0
+    n_postings, bucket_skew = results[i]; i += 1
+    if sum_dl_agg is not None:
+        sum_dl_removed = int(results[i][0][0] or 0); i += 1
+    else:
+        sum_dl_removed = sum_dl_removed_pre
+    shard_skew = None
+    if doc_map_out is not None:
+        shard_skew = results[i]; i += 1
+    sum_dl = int(meta.get("sum_dl", round(meta["avgdl"] * meta["n_docs"]))) \
+        - sum_dl_removed + sum_dl_new
 
     elapsed = max(time.perf_counter() - t0, 1e-9)
     metrics = {
@@ -728,7 +820,6 @@ def update_index(
         "postings_per_sec": round(n_postings / elapsed, 2),
         "skew_ratio_term_bucket": round(bucket_skew, 3),
     }
-    shard_skew = _doc_shard_skew(doc_map_out)
     if shard_skew is not None:
         metrics["skew_ratio_doc_shard"] = round(shard_skew, 3)
     meta_out = dict(
@@ -946,7 +1037,9 @@ def maintain(
         max_tombstones = cfg.compact_max_tombstones
     actions: list[str] = []
     n_docs = max(int(meta.get("n_docs", 0)), 1)
-    n_tomb = store.load(spark, "tombstones").count()
+    n_tomb = store.tombstone_rows()
+    if n_tomb is None:  # pyarrow unavailable: pay the Spark count
+        n_tomb = store.load(spark, "tombstones").count()
     over_ratio = max_tombstone_ratio > 0 and n_tomb > max_tombstone_ratio * n_docs
     over_abs = max_tombstones > 0 and n_tomb > max_tombstones
     if (over_ratio or over_abs) and store.has_checkpoint():

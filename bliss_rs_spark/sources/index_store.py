@@ -69,6 +69,30 @@ TOMBSTONE_SCHEMA = "doc_id long, before_seq int"
 _NO_CHECK = object()  # commit_snapshot sentinel: skip the parent CAS check
 
 
+def _run_parallel(fns, max_workers: int = 4) -> list:
+    """Run independent Spark actions from a small driver thread pool so
+    their jobs overlap (guide §2.6: actions are only sequential because the
+    driver calls them sequentially; concurrent jobs back-fill executors
+    freed by another job's straggler tail).  Used for the per-frame writes
+    of a segment/snapshot — each frame goes to its own directory, so the
+    actions are fully independent; shared cached parents are computed once
+    (block-manager locking).  ``inheritable_thread_target`` propagates the
+    JVM thread-locals (job group/description) per the PySpark docs."""
+    if len(fns) == 1:
+        return [fns[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from pyspark import inheritable_thread_target as _itt
+    except ImportError:  # pragma: no cover - very old pyspark
+        def _itt(f):
+            return f
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(fns))) as pool:
+        futs = [pool.submit(_itt(fn)) for fn in fns]
+        return [f.result() for f in futs]
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed a snapshot since this writer read its state.
 
@@ -252,27 +276,35 @@ class IndexStore:
         if os.path.exists(stage):
             shutil.rmtree(stage)
         os.makedirs(stage)
+        def _write_one(fname: str, df: DataFrame) -> None:
+            assert fname in SEGMENT_FRAMES, fname
+            out = os.path.join(stage, fname)
+            if fname in ("postings", "positional") and "term_bucket" in df.columns:
+                df.sortWithinPartitions("term", "doc_id").write.mode(
+                    "overwrite"
+                ).partitionBy("term_bucket").parquet(out)
+            elif fname == "trigram":
+                # gram-bucket partition dirs: substring queries prune to
+                # their grams' buckets exactly like term queries
+                df.sortWithinPartitions("gram", "doc_id").write.mode(
+                    "overwrite"
+                ).partitionBy("gram_bucket").parquet(out)
+            elif fname == "errors":
+                # one task guaranteed -> an empty ledger still writes a
+                # schema-bearing file
+                df.repartition(1).write.mode("overwrite").parquet(out)
+            else:
+                df.write.mode("overwrite").parquet(out)
+            _ensure_schema_file(df, out)
+
         try:
-            for fname, df in frames.items():
-                assert fname in SEGMENT_FRAMES, fname
-                out = os.path.join(stage, fname)
-                if fname in ("postings", "positional") and "term_bucket" in df.columns:
-                    df.sortWithinPartitions("term", "doc_id").write.mode(
-                        "overwrite"
-                    ).partitionBy("term_bucket").parquet(out)
-                elif fname == "trigram":
-                    # gram-bucket partition dirs: substring queries prune to
-                    # their grams' buckets exactly like term queries
-                    df.sortWithinPartitions("gram", "doc_id").write.mode(
-                        "overwrite"
-                    ).partitionBy("gram_bucket").parquet(out)
-                elif fname == "errors":
-                    # one task guaranteed -> an empty ledger still writes a
-                    # schema-bearing file
-                    df.repartition(1).write.mode("overwrite").parquet(out)
-                else:
-                    df.write.mode("overwrite").parquet(out)
-                _ensure_schema_file(df, out)
+            # independent per-frame writes overlap from a driver thread pool
+            # (guide §2.6); the shared tokenized parent is cached by the
+            # caller, so it is computed once whichever write gets there first
+            _run_parallel([
+                (lambda f=fname, d=df: _write_one(f, d))
+                for fname, df in frames.items()
+            ])
             final = os.path.join(self.segments_dir, name)
             os.replace(stage, final)
         except BaseException:
@@ -366,9 +398,35 @@ class IndexStore:
             return None
         return self.load(spark, "tombstones")
 
+    def tombstone_rows(self) -> int | None:
+        """Tombstone row count straight from the parquet FOOTERS of the
+        CURRENT snapshot's tombstones dir — a driver-side metadata read, no
+        Spark job (guide §1.2: the per-update maintenance probe and the
+        query-path has_tombstones probe each cost a full scheduling
+        round-trip before this).  0 for layout-1 stores (no tombstones
+        frame); None when pyarrow is unavailable (callers fall back to the
+        Spark count)."""
+        if "segments" not in self.meta():
+            return 0
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        d = os.path.join(self.snapshot_dir(), "tombstones")
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return n
+
     def has_tombstones(self, spark: SparkSession) -> bool:
-        """Cheap existence probe (one limit(1) job over the churn-sized
-        frame) — used to pick the single-unit fast path in query_index."""
+        """Cheap existence probe — parquet-footer metadata when available
+        (no Spark job), else one limit(1) job over the churn-sized frame.
+        Used to pick the single-unit fast path in query_index."""
+        n = self.tombstone_rows()
+        if n is not None:
+            return n > 0
         tomb = self.tombstone_frame(spark)
         return tomb is not None and tomb.limit(1).count() > 0
 
@@ -414,20 +472,27 @@ class IndexStore:
         if os.path.exists(stage):
             shutil.rmtree(stage)
         os.makedirs(stage)
+        def _write_one(fname: str, df: DataFrame) -> None:
+            assert fname in SNAPSHOT_FRAMES, fname
+            out = os.path.join(stage, fname)
+            if fname == "packed" and "shard" in df.columns:
+                df.sortWithinPartitions("term").write.mode(
+                    "overwrite"
+                ).partitionBy("shard").parquet(out)
+            elif fname == "tombstones":
+                # one task guaranteed -> empty tombstones still write a
+                # schema-bearing file
+                df.repartition(1).write.mode("overwrite").parquet(out)
+            else:
+                df.write.mode("overwrite").parquet(out)
+
         try:
-            for fname, df in frames.items():
-                assert fname in SNAPSHOT_FRAMES, fname
-                out = os.path.join(stage, fname)
-                if fname == "packed" and "shard" in df.columns:
-                    df.sortWithinPartitions("term").write.mode(
-                        "overwrite"
-                    ).partitionBy("shard").parquet(out)
-                elif fname == "tombstones":
-                    # one task guaranteed -> empty tombstones still write a
-                    # schema-bearing file
-                    df.repartition(1).write.mode("overwrite").parquet(out)
-                else:
-                    df.write.mode("overwrite").parquet(out)
+            # independent per-frame writes overlap (guide §2.6); shared
+            # cached parents (term_stats, doc_map) are computed once
+            _run_parallel([
+                (lambda f=fname, d=df: _write_one(f, d))
+                for fname, df in frames.items()
+            ])
             if carry_packed is not None:
                 from_snap, shard_ids = carry_packed
                 src_root = os.path.join(self.path, from_snap, "packed")
