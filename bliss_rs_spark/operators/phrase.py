@@ -209,10 +209,17 @@ def phrase_match(
 ) -> DataFrame:
     """(doc_id, phrase_tf) for every doc containing the exact token sequence.
 
-    n-way self-join on doc_id over the phrase's terms (each side pre-filtered
-    by pushed term predicate), then one array-intersection expression; no
-    content scan, no UDF.  Duplicate terms in the phrase are handled by
-    offsetting the SAME posting list at two offsets.
+    ONE pass: the positional frame is pruned to the phrase's terms (pushed
+    isin) and aggregated per doc into a term -> positions map; the
+    position-chain intersection is then a single array expression over the
+    map's entries.  The previous shape was an n-way self-join on doc_id —
+    each join side re-evaluated the positional lineage (for an un-cached
+    positional frame that meant one full posexplode + collect_list pass of
+    the corpus PER PHRASE TERM; guide §2.4/§1.2) and paid a join exchange
+    per term.  (doc_id, term) is unique in every positional source (grouped
+    at build; store segments are tombstone-disjoint), so map_from_entries
+    is lossless and the survivor arithmetic is unchanged.  Duplicate phrase
+    terms read the SAME map entry at two offsets, as before.
     """
     cfg = cfg or IndexConfig()
     terms = tokenize_text(phrase)
@@ -220,13 +227,16 @@ def phrase_match(
         return spark.createDataFrame([], "doc_id long, phrase_tf int")
     uniq = sorted(set(terms))
     pruned = positional.filter(F.col("term").isin(uniq))
-
-    joined = None
-    for i, t in enumerate(terms):
-        side = pruned.filter(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias(f"p{i}")
+    by_doc = (
+        pruned.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_terms"),
         )
-        joined = side if joined is None else joined.join(side, "doc_id")
+        .filter(F.col("n_terms") == F.lit(len(uniq)))
+    )
 
     # chain: survivors after step i = positions p0 such that p0+j ∈ pj ∀ j<=i.
     # NB: the shift lambda must take exactly ONE argument — F.transform
@@ -235,13 +245,14 @@ def phrase_match(
     def shift_by(offset: int):
         return lambda x: x - offset
 
-    surv = F.col("p0")
-    for i in range(1, len(terms)):
-        surv = F.array_intersect(surv, F.transform(F.col(f"p{i}"), shift_by(i)))
-    out = joined.select(
+    surv = F.col("m").getItem(terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        surv = F.array_intersect(
+            surv, F.transform(F.col("m").getItem(t), shift_by(i))
+        )
+    return by_doc.select(
         "doc_id", F.size(surv).alias("phrase_tf")
     ).filter(F.col("phrase_tf") > 0)
-    return out
 
 
 def phrase_topk(

@@ -189,7 +189,7 @@ def _query_relation(
             n_must += 1
         gid += 1
     if not parts:
-        return None, n_must
+        return None, None, n_must
     rel = parts[0]
     for p in parts[1:]:
         rel = rel.unionByName(p)
@@ -200,11 +200,15 @@ def _query_relation(
             F.col("is_neg").cast("int"), F.col("group_id")
         )
     )
+    # (windowed relation, bare pre-window term set) — the term set feeds the
+    # bucket-pruning probe, which does not need the scorer window's shuffle
+    # or the idf join (guide §1.2: it is a strict subplan of the probe that
+    # previously ran)
     return (
         rel.withColumn("rn", scorer_rn)
         .withColumn("scorer", (F.col("rn") == 1) & ~F.col("is_neg"))
         .drop("rn")
-    ), n_must
+    ), rel.select("term"), n_must
 
 
 # doc_stats metadata columns a field filter can target when no doc_stats
@@ -256,7 +260,7 @@ def search(
     if spec.phrases and positional is None:
         raise ValueError("query has phrases; pass the positional frame")
 
-    rel, n_must = _query_relation(
+    rel, rel_terms, n_must = _query_relation(
         spark, term_stats, spec, cfg, lang, reversed_terms, variants
     )
     if rel is None:
@@ -265,10 +269,11 @@ def search(
         "term", "group_id", "is_must", "is_neg", "scorer", "idf"
     )
 
-    # bounded driver round-trip: bucket list for partition pruning
+    # bounded driver round-trip: bucket list for partition pruning (probed
+    # over the pre-window term set — no scorer window, no idf join)
     buckets = sorted(
         r["b"]
-        for r in rel.select(
+        for r in rel_terms.select(
             F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int").alias("b")
         )
         .distinct()

@@ -156,20 +156,12 @@ def substring_candidates(
     # gram_bucket IN (...) prunes whole partition directories of a STORED
     # index (the store partitions segments by gram_bucket); gram IN (...)
     # is the row-group filter within them — same two-level pruning as the
-    # term postings path (operators/bm25.py).
+    # term postings path (operators/bm25.py).  Memoized probe: repeated
+    # grams cost no job (operators/bm25.py:jvm_hash_buckets).
+    from bliss_rs_spark.operators.bm25 import jvm_hash_buckets
+
     spark = trigram_index.sparkSession
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(g,) for g in grams], "gram string")
-            .select(
-                F.pmod(F.xxhash64("gram"), F.lit(N_GRAM_BUCKETS))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()
-        }
-    )
+    buckets = jvm_hash_buckets(spark, grams, N_GRAM_BUCKETS)
     hits = trigram_index.filter(
         F.col("gram_bucket").isin(buckets) & F.col("gram").isin(grams)
     )
@@ -232,8 +224,15 @@ def substring_search(
     if len(needle) < 3:
         return docs.filter(verify).select("doc_id")
     cand = substring_candidates(trigram_index, probe, max_query_grams)
+    # no broadcast hint: the candidate count is needle-dependent and
+    # unbounded (a hot needle over 10^9 docs yields 10^7+ ids, and an
+    # explicit hint forces driver-side materialization regardless of size,
+    # bypassing autoBroadcastJoinThreshold — round-6 verdict #4).  AQE
+    # converts the join to broadcast at runtime exactly when the candidate
+    # side turns out small (measured: no-hint is as fast at sf0.1 for both
+    # rare and saturating needles), and keeps a shuffle join for hot ones.
     return (
-        docs.join(F.broadcast(cand), "doc_id", "left_semi")
+        docs.join(cand, "doc_id", "left_semi")
         .filter(verify)
         .select("doc_id")
     )
@@ -302,7 +301,8 @@ def substring_search_lines(
     if len(needle) >= 3:
         probe = jvm_fold(docs.sparkSession, needle) if index_lowercased else needle
         cand = substring_candidates(trigram_index, probe, max_query_grams)
-        docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
+        # no broadcast hint — see substring_search (size-unbounded side)
+        docs = docs.join(cand, "doc_id", "left_semi")
     return line_hits(docs, needle, case_insensitive, content_col)
 
 
@@ -344,19 +344,10 @@ def substring_search_batch(
     needs = spark.createDataFrame(
         need_rows, "needle_id int, needle string, n_grams_needed int"
     )
+    from bliss_rs_spark.operators.bm25 import jvm_hash_buckets
+
     all_grams = sorted({g for _, g in rel_rows})
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(g,) for g in all_grams], "gram string")
-            .select(
-                F.pmod(F.xxhash64("gram"), F.lit(N_GRAM_BUCKETS))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()
-        }
-    )
+    buckets = jvm_hash_buckets(spark, all_grams, N_GRAM_BUCKETS)
     hits = trigram_index.filter(
         F.col("gram_bucket").isin(buckets) & F.col("gram").isin(all_grams)
     )
@@ -525,8 +516,9 @@ def regex_search(
     if index_lowercased:
         anchor = jvm_fold(docs.sparkSession, anchor)
     cand = substring_candidates(trigram_index, anchor, max_query_grams)
+    # no broadcast hint — see substring_search (size-unbounded side)
     return (
-        docs.join(F.broadcast(cand), "doc_id", "left_semi")
+        docs.join(cand, "doc_id", "left_semi")
         .filter(verify)
         .select("doc_id")
     )
@@ -558,23 +550,26 @@ def pack_trigrams(
     applyInPandas groups; the streaming pass cut server init ~5x.  Hot grams
     ('   ', 'the') are absorbed by the sorter, not a groupBy key."""
     shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(int(n_doc_shards))).cast("int")
+    # gram_bucket is NOT shuffled: it is a pure function of gram, re-derived
+    # JVM-side on the vocab-x-shards-sized packed OUTPUT below — 4 fewer
+    # bytes per posting row through the one big exchange (guide §2.3
+    # project-before-the-exchange / narrower rows)
     arranged = (
         trigram_index.withColumn("shard", shard_col)
-        .select("shard", "gram", "gram_bucket", "doc_id")
+        .select("shard", "gram", "doc_id")
         .repartition(int(n_doc_shards), "shard")
         .sortWithinPartitions("shard", "gram", "doc_id")
     )
-    schema = "gram string, gram_bucket int, shard int, n long, docs_blob binary"
+    schema = "gram string, shard int, n long, docs_blob binary"
 
     def pack_stream(batches):
         from bliss_rs_spark.functions.codec import encode_doc_ids
 
-        pend = None  # (shard, gram, bucket, docs) tail group awaiting more rows
+        pend = None  # (shard, gram, docs) tail group awaiting more rows
 
-        def emit(shard, gram, bucket, docs, out):
+        def emit(shard, gram, docs, out):
             docs = np.unique(docs)  # store re-adds may duplicate (gram, doc)
             out["gram"].append(gram)
-            out["gram_bucket"].append(int(bucket))
             out["shard"].append(int(shard))
             out["n"].append(int(len(docs)))
             out["docs_blob"].append(encode_doc_ids(docs))
@@ -584,7 +579,6 @@ def pack_trigrams(
                 continue
             shards = pdf["shard"].to_numpy(np.int32)
             grams = pdf["gram"].to_numpy(object)
-            buckets = pdf["gram_bucket"].to_numpy(np.int32)
             docs = pdf["doc_id"].to_numpy(np.int64)
             change = np.empty(len(pdf), dtype=bool)
             change[0] = True
@@ -592,12 +586,12 @@ def pack_trigrams(
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(pdf))
 
-            out = {"gram": [], "gram_bucket": [], "shard": [], "n": [], "docs_blob": []}
+            out = {"gram": [], "shard": [], "n": [], "docs_blob": []}
             for gi, (s, e) in enumerate(zip(starts, ends)):
-                g = (int(shards[s]), grams[s], int(buckets[s]), docs[s:e])
+                g = (int(shards[s]), grams[s], docs[s:e])
                 if gi == 0 and pend is not None:
                     if pend[0] == g[0] and pend[1] == g[1]:
-                        g = (g[0], g[1], g[2], np.concatenate([pend[3], g[3]]))
+                        g = (g[0], g[1], np.concatenate([pend[2], g[2]]))
                     else:
                         emit(*pend, out)
                     pend = None
@@ -608,11 +602,19 @@ def pack_trigrams(
             if out["gram"]:
                 yield pd.DataFrame(out)
         if pend is not None:
-            out = {"gram": [], "gram_bucket": [], "shard": [], "n": [], "docs_blob": []}
+            out = {"gram": [], "shard": [], "n": [], "docs_blob": []}
             emit(*pend, out)
             yield pd.DataFrame(out)
 
-    return arranged.mapInPandas(pack_stream, schema)
+    packed = arranged.mapInPandas(pack_stream, schema)
+    return packed.select(
+        "gram",
+        F.pmod(F.xxhash64("gram"), F.lit(N_GRAM_BUCKETS)).cast("int")
+        .alias("gram_bucket"),
+        "shard",
+        "n",
+        "docs_blob",
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -709,6 +711,7 @@ class TrigramServer:
         content_col: str = "content",
         units: list[tuple[int, DataFrame]] | None = None,
         tombstones: DataFrame | None = None,
+        broadcast_max_candidates: int = 1_000_000,
     ):
         self.spark = spark
         self.index_lowercased = index_lowercased
@@ -722,6 +725,12 @@ class TrigramServer:
         self._store_mode = units is not None
         self._dead_bc = None  # broadcast {(unit, shard): dead bytes}
         self._unit_frames: dict[int, DataFrame] = {}
+        # per-unit {gram: total posting count} — bounded by the gram
+        # ALPHABET (Zoekt: ~tens of thousands on code), never by corpus;
+        # filled by the warm-up agg below and kept per unit so refresh()
+        # reuses unchanged units' stats verbatim
+        self._unit_gram_n: dict[int, dict[str, int]] = {}
+        self.broadcast_max_candidates = int(broadcast_max_candidates)
 
         if units is None:
             if trigram_index is None:
@@ -731,11 +740,24 @@ class TrigramServer:
             self._unit_frames[seq] = self._build_unit_frame(
                 seq, p, self._unit_partitions(i)
             )
-        for f in self._unit_frames.values():
-            f.count()  # warm the caches outside any query
+        from bliss_rs_spark.sources.index_store import _run_parallel
+
+        # one overlapped warm-up batch (guide §2.6): each unit's gram-stat
+        # agg materializes that unit's cache (replacing the bare count())
+        # AND collects the per-gram posting totals that size-gate the
+        # verify-join broadcast; the docs persist warms alongside
+        def _warm_docs():
+            self._docs = docs.persist()
+            self._docs.count()
+
+        _run_parallel(
+            [
+                (lambda q=seq: self._warm_unit(q))
+                for seq in self._unit_frames
+            ]
+            + [_warm_docs]
+        )
         self._set_tombstones(tombstones)
-        self._docs = docs.persist()
-        self._docs.count()
 
     # -- construction helpers (shared with refresh) ---------------------------
 
@@ -746,6 +768,41 @@ class TrigramServer:
         if index_in_units == 0:
             return self._target_partitions
         return max(1, self._target_partitions // 8)
+
+    def _warm_unit(self, seq: int) -> None:
+        """Materialize one unit's cached partitions and record its
+        {gram: total n} stats — the PRE-DECODE candidate-count bound
+        (min over a needle's grams of the gram's total posting count is
+        >= the true candidate count) that decides broadcast vs shuffle
+        on the verify join (round-6 verdict #4)."""
+        rows = (
+            self._unit_frames[seq]
+            .groupBy("gram")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        self._unit_gram_n[seq] = {r["gram"]: int(r["n"]) for r in rows}
+
+    def _candidate_bound(self, grams: list[str]) -> int:
+        """Upper bound on the candidate count for a gram set, from the
+        collected per-unit gram stats — no job, no decode."""
+        if not grams:
+            return 0
+        return min(
+            sum(d.get(g, 0) for d in self._unit_gram_n.values())
+            for g in grams
+        )
+
+    def _maybe_broadcast(self, cand: DataFrame, grams: list[str]) -> DataFrame:
+        """Broadcast-hint the candidate frame ONLY when the pre-decode
+        bound says it is small (keeps the warm verify shuffle-free for
+        ordinary needles); a saturating needle's candidates stay a plain
+        distributed side and AQE picks the join strategy — the explicit
+        hint would force driver-side materialization of an unbounded set
+        (round-6 verdict #4)."""
+        if self._candidate_bound(grams) <= self.broadcast_max_candidates:
+            return F.broadcast(cand)
+        return cand
 
     def _build_unit_frame(self, seq: int, p: DataFrame, n_parts: int) -> DataFrame:
         # shard = pmod(xxhash64(doc_id)) -> every gram row of one doc-shard
@@ -888,7 +945,6 @@ class TrigramServer:
                 reused.append(seq)
             else:
                 f = self._build_unit_frame(seq, p, self._unit_partitions(i))
-                f.count()
                 new_frames[seq] = f
                 rebuilt.append(seq)
         for seq, f in self._unit_frames.items():
@@ -896,6 +952,15 @@ class TrigramServer:
                 f.unpersist()
         self._unit_frames = new_frames
         self._unit_fps = fps
+        # warm rebuilt units (cache + gram stats) — reused units keep their
+        # stats verbatim; vanished units' stats drop with their frames
+        self._unit_gram_n = {
+            seq: d for seq, d in self._unit_gram_n.items() if seq in new_frames
+        }
+        if rebuilt:
+            from bliss_rs_spark.sources.index_store import _run_parallel
+
+            _run_parallel([(lambda q=seq: self._warm_unit(q)) for seq in rebuilt])
         self._set_tombstones(
             store.tombstone_frame(self.spark)
             if store.has_tombstones(self.spark) else None
@@ -1082,6 +1147,11 @@ class TrigramServer:
         needle row-identical to grep() (tested).  ``limit`` caps hits PER
         NEEDLE (rank window over the deterministic doc_id order)."""
         cand = self.candidates_batch_df(needles)
+        total_bound = sum(
+            self._candidate_bound(trigrams_of(self._fold(n))) for _, n in needles
+        )
+        if total_bound <= self.broadcast_max_candidates:
+            cand = F.broadcast(cand)
         nrel = self.spark.createDataFrame(
             [(int(nid), n) for nid, n in needles], "needle_id int, needle string"
         )
@@ -1123,9 +1193,10 @@ class TrigramServer:
         verify = _verify_col(self._content_col, needle, case_insensitive)
         if len(needle) < 3:
             return self._docs.filter(verify).select("doc_id")
-        cand = self.candidates_df(needle)
+        grams = trigrams_of(self._fold(needle))
+        cand = self._maybe_broadcast(self.candidates_df(needle), grams)
         return (
-            self._docs.join(F.broadcast(cand), "doc_id", "left_semi")
+            self._docs.join(cand, "doc_id", "left_semi")
             .filter(verify)
             .select("doc_id")
         )
@@ -1155,12 +1226,12 @@ class TrigramServer:
             out = self._docs.filter(verify).select("doc_id")
         else:
             anchor = max(lits, key=len)
+            cand = self._maybe_broadcast(
+                self.candidates_df(anchor),
+                trigrams_of(self._fold(anchor)),
+            )
             out = (
-                self._docs.join(
-                    F.broadcast(self.candidates_df(anchor)),
-                    "doc_id",
-                    "left_semi",
-                )
+                self._docs.join(cand, "doc_id", "left_semi")
                 .filter(verify)
                 .select("doc_id")
             )
@@ -1180,9 +1251,10 @@ class TrigramServer:
             raise ValueError("case-insensitive grep needs a lowercase index")
         docs = self._docs
         if len(needle) >= 3:
-            docs = docs.join(
-                F.broadcast(self.candidates_df(needle)), "doc_id", "left_semi"
+            cand = self._maybe_broadcast(
+                self.candidates_df(needle), trigrams_of(self._fold(needle))
             )
+            docs = docs.join(cand, "doc_id", "left_semi")
         folded = self._fold(needle) if case_insensitive else None
         out = line_hits(
             docs, needle, case_insensitive, self._content_col, folded_needle=folded
@@ -1195,6 +1267,7 @@ class TrigramServer:
         for f in self._unit_frames.values():
             f.unpersist()
         self._unit_frames = {}
+        self._unit_gram_n = {}
         self._docs.unpersist()
         if self._dead_bc is not None:
             self._dead_bc.unpersist()

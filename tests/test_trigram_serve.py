@@ -292,3 +292,42 @@ def test_grep_batch_through_churned_store(spark, docs, tmp_path):
         assert all(d % 3 != 0 for _, d in got)
     finally:
         srv.close()
+
+
+def test_candidate_broadcast_size_gate(spark, docs):
+    """Round-6 verdict #4: the verify join's broadcast hint must be GATED
+    on the pre-decode candidate bound (min over the needle's grams of the
+    packed ``n`` totals).  A needle under the threshold keeps the hinted
+    broadcast plan (shuffle-free warm verify); above it (forced here with
+    threshold 0) the hint must be ABSENT — no driver-side materialization
+    of an unbounded candidate set — and results stay identical."""
+    from bliss_rs_spark.operators.trigram import build_trigram_index
+
+    idx = build_trigram_index(docs, lowercase=True)
+
+    def hint_in_logical(df):
+        # the forced hint lives in the analyzed/optimized LOGICAL plan as
+        # ResolvedHint; the physical plan may legitimately still pick a
+        # broadcast from REAL runtime sizes, which is the desired behavior
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    srv = TrigramServer(spark, idx, docs, index_lowercased=True)
+    srv_no = TrigramServer(
+        spark, idx, docs, index_lowercased=True, broadcast_max_candidates=0
+    )
+    try:
+        # the stats the gate consults exist and bound the true count
+        bound = srv._candidate_bound(["ret", "etu"])
+        assert bound > 0
+        assert hint_in_logical(srv.matches(NEEDLE))
+        # gated off: no forced broadcast hint in the plan (the planner/AQE
+        # may still choose a broadcast from REAL sizes — that is the point)
+        assert not hint_in_logical(srv_no.matches(NEEDLE))
+        assert srv.grep(NEEDLE) == srv_no.grep(NEEDLE)
+        # batch path takes the same gate
+        b1 = srv.grep_batch([(1, NEEDLE), (2, "value table")])
+        b2 = srv_no.grep_batch([(1, NEEDLE), (2, "value table")])
+        assert b1 == b2
+    finally:
+        srv.close()
+        srv_no.close()
