@@ -405,9 +405,12 @@ def main(argv: list[str] | None = None) -> int:
                 ).orderBy("doc_id", "line_no").limit(args.limit)
                 name_col = "path" if "path" in docs.columns else None
                 if name_col:
+                    # a join does not preserve row order — re-sort after the
+                    # path attach so the printed file:line:col order is
+                    # deterministic (round-6 ADVICE)
                     out = out.join(
                         docs.select("doc_id", name_col), "doc_id", "left"
-                    )
+                    ).orderBy("doc_id", "line_no")
                 for r in out.collect():
                     where = r[name_col] if name_col else str(r["doc_id"])
                     print(f"{where}:{r['line_no']}:{r['col']}:{r['line']}")

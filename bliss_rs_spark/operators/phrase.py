@@ -829,8 +829,10 @@ class PhraseServer:
             self._unit_frames[seq] = self._build_unit_frame(
                 seq, p, self._unit_partitions(i)
             )
-        for f in self._unit_frames.values():
-            f.count()  # warm caches outside any query
+        from bliss_rs_spark.sources.index_store import _run_parallel
+
+        # warm caches outside any query; independent per-unit counts overlap
+        _run_parallel([f.count for f in self._unit_frames.values()])
         self._set_tombstones(tombstones)
 
     # -- construction helpers (shared with refresh) ---------------------------

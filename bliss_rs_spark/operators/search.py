@@ -252,8 +252,9 @@ def search(
             real_filters.append((op, fld, val))
         else:
             # unknown field (std::vector, https://...): degrade to a plain
-            # SHOULD term — the analyzer splits it into sub-terms
-            spec.terms.append(("", f"{fld}:{val}"))
+            # term, PRESERVING the operator — '-std::vector' must stay an
+            # exclusion, not become a SHOULD boost (round-6 ADVICE)
+            spec.terms.append((op, f"{fld}:{val}"))
     spec.filters = real_filters
     if spec.filters and doc_stats is None:
         raise ValueError("query has field filters; pass doc_stats")

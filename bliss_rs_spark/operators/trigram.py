@@ -724,6 +724,7 @@ class TrigramServer:
         self._pin: str | None = None  # gc() pin file (from_store servers)
         self._store_mode = units is not None
         self._dead_bc = None  # broadcast {(unit, shard): dead bytes}
+        self._dead_ids = None  # lazily-built (doc_id) frame for full scans
         self._unit_frames: dict[int, DataFrame] = {}
         # per-unit {gram: total posting count} — bounded by the gram
         # ALPHABET (Zoekt: ~tens of thousands on code), never by corpus;
@@ -825,6 +826,7 @@ class TrigramServer:
         maintain()'s tombstone ceilings; compact_full resets it."""
         old = self._dead_bc
         self._dead_bc = None
+        self._dead_ids = None  # lazily-built (doc_id) frame for full scans
         if tombstones is not None and tombstones.limit(1).count() > 0:
             from bliss_rs_spark.operators.wand import _dead_sets_df
 
@@ -841,6 +843,34 @@ class TrigramServer:
             )
         if old is not None:
             old.unpersist()
+
+    def _scan_docs(self) -> DataFrame:
+        """The docs frame for FULL-SCAN fallbacks (short needles,
+        literal-free regexes), with the store's tombstoned docs dropped —
+        the trigram-pruned paths mask dead sets inside the kernel, and the
+        fallback must agree (round-6 ADVICE: after churn, a short needle
+        resurrected tombstoned docs the long path had dropped).  The dead
+        id frame is churn-sized (the same bound as the broadcast dead
+        sets, which are already driver-held) and built once per
+        (re)point."""
+        if self._dead_bc is None:
+            return self._docs
+        if self._dead_ids is None:
+            from bliss_rs_spark.functions.codec import decode_doc_ids
+
+            ids = sorted(
+                {
+                    int(x)
+                    for blob in self._dead_bc.value.values()
+                    for x in decode_doc_ids(blob)
+                }
+            )
+            self._dead_ids = self.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            )
+        return self._docs.join(
+            F.broadcast(self._dead_ids), "doc_id", "left_anti"
+        )
 
     @staticmethod
     def _store_units(
@@ -1192,7 +1222,7 @@ class TrigramServer:
             raise ValueError("case-insensitive grep needs a lowercase index")
         verify = _verify_col(self._content_col, needle, case_insensitive)
         if len(needle) < 3:
-            return self._docs.filter(verify).select("doc_id")
+            return self._scan_docs().filter(verify).select("doc_id")
         grams = trigrams_of(self._fold(needle))
         cand = self._maybe_broadcast(self.candidates_df(needle), grams)
         return (
@@ -1223,7 +1253,7 @@ class TrigramServer:
             lit for lit in regex_required_literals(pattern) if len(lit) >= 3
         ]
         if not lits:
-            out = self._docs.filter(verify).select("doc_id")
+            out = self._scan_docs().filter(verify).select("doc_id")
         else:
             anchor = max(lits, key=len)
             cand = self._maybe_broadcast(
@@ -1249,12 +1279,13 @@ class TrigramServer:
         (doc_id, line_no)."""
         if case_insensitive and not self.index_lowercased:
             raise ValueError("case-insensitive grep needs a lowercase index")
-        docs = self._docs
         if len(needle) >= 3:
             cand = self._maybe_broadcast(
                 self.candidates_df(needle), trigrams_of(self._fold(needle))
             )
-            docs = docs.join(cand, "doc_id", "left_semi")
+            docs = self._docs.join(cand, "doc_id", "left_semi")
+        else:
+            docs = self._scan_docs()  # dead-set-consistent full scan
         folded = self._fold(needle) if case_insensitive else None
         out = line_hits(
             docs, needle, case_insensitive, self._content_col, folded_needle=folded

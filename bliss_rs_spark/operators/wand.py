@@ -975,8 +975,9 @@ class WandServer:
         being reused)."""
         if audit_units is None:
             audit_units = [s for s in self._unit_frames if s not in self._unit_ok]
-        for seq in audit_units:
-            bad = (
+
+        def _audit(seq: int) -> int:
+            return (
                 self._unit_frames[seq]
                 .select("unit", "shard")
                 .groupBy(F.spark_partition_id().alias("pid"), "unit", "shard")
@@ -986,7 +987,15 @@ class WandServer:
                 .filter(F.col("count") > 1)
                 .count()
             )
-            self._unit_ok[seq] = bad == 0
+
+        if audit_units:
+            from bliss_rs_spark.sources.index_store import _run_parallel
+
+            # independent per-unit audit jobs overlap (guide §2.6); each
+            # doubles as that unit's cache warm-up, exactly as before
+            bads = _run_parallel([(lambda q=seq: _audit(q)) for seq in audit_units])
+            for seq, bad in zip(audit_units, bads):
+                self._unit_ok[seq] = bad == 0
         return all(
             self._unit_ok.get(seq, False) for seq in self._unit_frames
         )

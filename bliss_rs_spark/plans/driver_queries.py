@@ -2768,7 +2768,39 @@ ORACLE_PAGE2 = ORACLE_BM25.replace(
 # --- registry -------------------------------------------------------------------
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    # ORDER MATTERS for the driver's correctness capture: it records the
+    # FIRST 50 entries in registry order (verified programmatically, round-6
+    # verdict #1), so the 26 entries that had never had a driver-side row —
+    # the whole grep/search/retrieval tier shipped in rounds 5-6 — come
+    # FIRST; the long-proven originals follow in their former order.  Every
+    # name and its oracle SQL text are unchanged.
     return {
+        "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
+        "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
+        "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS),
+        "except_langs": (q_except_langs, ORACLE_EXCEPT_LANGS),
+        "custom_topk": (q_custom_topk, _oracle_custom_topk()),
+        "substring_search": (q_substring_search, ORACLE_SUBSTRING),
+        "regex_search": (q_regex_search, ORACLE_REGEX),
+        "grep_lines": (q_grep_lines, ORACLE_GREP_LINES),
+        "substring_ci": (q_substring_ci, ORACLE_SUBSTRING_CI),
+        "grep_batch": (q_grep_batch, ORACLE_GREP_BATCH),
+        "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
+        "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
+        "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),
+        "more_like_this": (q_more_like_this, ORACLE_MLT),
+        "filtered_topk": (q_filtered_topk, ORACLE_FILTERED),
+        "snippet_spans": (q_snippet_spans, _oracle_snippet_spans(PHRASE)),
+        "facet_counts": (q_facet_counts, ORACLE_FACETS),
+        "search_query": (q_search_query, ORACLE_SEARCH),
+        "substring_churn": (q_substring_churn, ORACLE_SUBSTRING_CHURN),
+        "phrase_filtered": (q_phrase_filtered, ORACLE_PHRASE_FILTERED),
+        "suggest_terms": (q_suggest_terms, ORACLE_SUGGEST),
+        "snippet_text": (q_snippet_text, _oracle_snippet_text(PHRASE)),
+        "substring_served": (q_substring_served, ORACLE_SUBSTRING),
+        "suffix_topk": (q_suffix_topk, ORACLE_SUFFIX),
+        "collapse_topk": (q_collapse_topk, ORACLE_COLLAPSE),
+        "page2_topk": (q_page2_topk, ORACLE_PAGE2),
         "bm25_topk": (q_bm25_topk, ORACLE_BM25),
         "store_churn_topk": (q_store_churn_topk, ORACLE_STORE_CHURN),
         "store_compact_topk": (q_store_compact_topk, ORACLE_STORE_COMPACT),
@@ -2822,30 +2854,4 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "phrase_then_rank": (q_phrase_then_rank, ORACLE_PHRASE_THEN_RANK),
         "window_then_rank": (q_window_then_rank, _oracle_window_then_rank()),
         "asof_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
-        "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
-        "intersect_langs": (q_intersect_langs, ORACLE_INTERSECT_LANGS),
-        "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS),
-        "except_langs": (q_except_langs, ORACLE_EXCEPT_LANGS),
-        "custom_topk": (q_custom_topk, _oracle_custom_topk()),
-        "substring_search": (q_substring_search, ORACLE_SUBSTRING),
-        "regex_search": (q_regex_search, ORACLE_REGEX),
-        "grep_lines": (q_grep_lines, ORACLE_GREP_LINES),
-        "substring_ci": (q_substring_ci, ORACLE_SUBSTRING_CI),
-        "grep_batch": (q_grep_batch, ORACLE_GREP_BATCH),
-        "boolean_topk": (q_boolean_topk, ORACLE_BOOLEAN),
-        "prefix_topk": (q_prefix_topk, ORACLE_PREFIX),
-        "fuzzy_topk": (q_fuzzy_topk, ORACLE_FUZZY),
-        "more_like_this": (q_more_like_this, ORACLE_MLT),
-        "filtered_topk": (q_filtered_topk, ORACLE_FILTERED),
-        "snippet_spans": (q_snippet_spans, _oracle_snippet_spans(PHRASE)),
-        "facet_counts": (q_facet_counts, ORACLE_FACETS),
-        "search_query": (q_search_query, ORACLE_SEARCH),
-        "substring_churn": (q_substring_churn, ORACLE_SUBSTRING_CHURN),
-        "phrase_filtered": (q_phrase_filtered, ORACLE_PHRASE_FILTERED),
-        "suggest_terms": (q_suggest_terms, ORACLE_SUGGEST),
-        "snippet_text": (q_snippet_text, _oracle_snippet_text(PHRASE)),
-        "substring_served": (q_substring_served, ORACLE_SUBSTRING),
-        "suffix_topk": (q_suffix_topk, ORACLE_SUFFIX),
-        "collapse_topk": (q_collapse_topk, ORACLE_COLLAPSE),
-        "page2_topk": (q_page2_topk, ORACLE_PAGE2),
     }

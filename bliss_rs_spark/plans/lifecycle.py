@@ -1447,11 +1447,26 @@ def checkpoint_seed_terms(
     ckpt = store.load_checkpoint(spark)
     if ckpt is None:
         return None
+    # restrict to the seed's CURRENT live content: the append-only
+    # checkpoint retains rows for every sha a doc ever had (and for docs
+    # since tombstoned) — without this semi-join against the tombstone-
+    # filtered doc_stats a content-changing upsert would mix stale and
+    # current terms into the seed vector, and a deleted doc would still
+    # seed (round-6 ADVICE medium).  The doc_id equality pushes into both
+    # scans; duplicate checkpoint rows of the same (doc, sha) collapse to
+    # one (deterministic: identical tokenizer output).
+    live = (
+        store.load(spark, "doc_stats")
+        .filter(F.col("doc_id") == F.lit(int(seed_doc_id)))
+        .select("doc_id", "content_sha256")
+    )
     return (
         ckpt.filter(
             (F.col("doc_id") == F.lit(int(seed_doc_id)))
             & (F.col("analyzer_version") == cfg.analyzer_version)
         )
+        .join(F.broadcast(live), ["doc_id", "content_sha256"], "left_semi")
+        .dropDuplicates(["doc_id"])
         .select("doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("t"))
         .select(
             "doc_id",
@@ -1481,6 +1496,14 @@ def more_like_this_query(
     meta = store.meta()
     cfg = store.config()
     seed_terms = checkpoint_seed_terms(spark, store, seed_doc_id, cfg)
+    if seed_terms is not None and seed_terms.limit(1).count() == 0:
+        # seed not covered by the checkpoint (checkpoint=False update) —
+        # fall back to the postings scan instead of silently returning an
+        # empty frame (round-6 ADVICE medium).  A genuinely tombstoned or
+        # unknown seed stays empty on the postings path too (the load is
+        # tombstone-filtered), which is the correct "deleted docs cannot
+        # seed" semantics.
+        seed_terms = None
     return more_like_this(
         spark,
         store.load(spark, "postings"),

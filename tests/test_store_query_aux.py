@@ -111,3 +111,61 @@ def test_gc_prunes_expired_expansion_tables(spark, docs, tmp_path):
     removed = s.gc(keep_last=1)
     assert f"derived/expansions/{v1}" in removed
     assert not os.path.isdir(os.path.join(s.path, "derived", "expansions", v1))
+
+
+def test_seed_vector_tracks_current_content(spark, docs, tmp_path):
+    """Round-6 ADVICE medium: checkpoint_seed_terms must restrict to the
+    seed's CURRENT content (the append-only checkpoint keeps old-sha rows
+    after an upsert), fall back to postings for never-checkpointed docs,
+    and return nothing for tombstoned seeds."""
+    from pyspark.sql import functions as F
+
+    from bliss_rs_spark.functions.tokenizer import term_counts
+    from bliss_rs_spark.plans.lifecycle import update_index
+
+    store = IndexStore(str(tmp_path / "seed_idx"))
+    build_full(spark, docs, store, CFG, checkpoint=True)
+    seed = int(docs.select(F.min("doc_id")).first()[0])
+
+    # content-changing upsert: both sha rows now sit in the checkpoint
+    changed = docs.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == seed,
+            F.concat(F.col("content"), F.lit("\nzzupsert zzupsert fresh")),
+        ).otherwise(F.col("content")),
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    update_index(spark, changed, store, CFG)
+
+    st = checkpoint_seed_terms(spark, store, seed, CFG)
+    got = {(r["term"], int(r["tf"])) for r in st.collect()}
+    new_content = changed.filter(F.col("doc_id") == seed).first()["content"]
+    want = set(term_counts(new_content).items())
+    assert got == want  # exactly the CURRENT content's vector, no stale mix
+
+    # never-checkpointed doc (checkpoint=False update): falls back to the
+    # postings path instead of silently returning empty
+    from bliss_rs_spark.operators.query_ops import more_like_this
+
+    changed2 = changed.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == seed,
+            F.concat(F.col("content"), F.lit("\nnockpt token")),
+        ).otherwise(F.col("content")),
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    update_index(spark, changed2, store, CFG, checkpoint=False)
+    assert checkpoint_seed_terms(spark, store, seed, CFG).count() == 0
+    meta = store.meta()
+    got_q = more_like_this_query(spark, store, seed, k=10).collect()
+    want_q = more_like_this(
+        spark, store.load(spark, "postings"), store.load(spark, "term_stats"),
+        meta["avgdl"], seed, 10, cfg=CFG,
+    ).collect()
+    assert got_q and [r["doc_id"] for r in got_q] == [r["doc_id"] for r in want_q]
+
+    # tombstoned seed: no vector, empty result
+    kept = changed2.filter(F.col("doc_id") != seed)
+    update_index(spark, kept, store, CFG, delete_missing=True, repack="segment")
+    assert checkpoint_seed_terms(spark, store, seed, CFG).count() == 0
+    assert more_like_this_query(spark, store, seed, k=10).count() == 0

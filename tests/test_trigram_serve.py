@@ -331,3 +331,36 @@ def test_candidate_broadcast_size_gate(spark, docs):
     finally:
         srv.close()
         srv_no.close()
+
+
+def test_short_needle_full_scan_respects_dead_sets(spark, docs, tmp_path):
+    """Round-6 ADVICE: the <3-char needle (and literal-free regex) full-scan
+    fallback must drop the store's tombstoned docs like the trigram-pruned
+    path does — after churn, a short needle must not resurrect deleted
+    docs."""
+    store = IndexStore(str(tmp_path / "short_idx"))
+    build_full(spark, docs, store, CFG, checkpoint=False)
+    srv = TrigramServer.from_store(spark, store, docs)
+    try:
+        kept = docs.filter(F.col("doc_id") % 5 != 0)
+        update_index(spark, kept, store, None, delete_missing=True,
+                     repack="segment")
+        srv.refresh(store)
+        live_ids = {int(r["doc_id"]) for r in kept.select("doc_id").collect()}
+        short = "re"  # no trigrams -> full-scan fallback
+        want = {
+            int(r["doc_id"])
+            for r in docs.collect()
+            if short in r["content"] and int(r["doc_id"]) in live_ids
+        }
+        assert set(srv.grep(short)) == want
+        # literal-free regex takes the same fallback
+        want_re = {
+            int(r["doc_id"])
+            for r in docs.collect()
+            if __import__("re").search("va..e", r["content"])
+            and int(r["doc_id"]) in live_ids
+        }
+        assert set(srv.grep_regex("va..e")) == want_re
+    finally:
+        srv.close()
