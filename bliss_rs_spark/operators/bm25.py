@@ -33,13 +33,16 @@ def query_terms(query_text: str, lang: str | None = None, cfg: IndexConfig | Non
     return sorted(term_counts(query_text, lang, cfg.lang_tagging).keys())
 
 
-_BUCKET_MEMO: dict[tuple[str, int], int] = {}
+from collections import OrderedDict
+
+_BUCKET_MEMO: OrderedDict[tuple[str, int], int] = OrderedDict()
+_BUCKET_MEMO_MAX = 262_144
 
 
 def jvm_hash_buckets(
     spark: SparkSession, values: list[str], n_buckets: int
 ) -> list[int]:
-    """pmod(xxhash64(v), n_buckets) per distinct value, memoized.
+    """pmod(xxhash64(v), n_buckets) per distinct value, memoized (true LRU).
 
     Spark's xxhash64 has no public Python twin, so unseen values cost one
     tiny local-relation job — but a warm process re-probing the same query
@@ -47,8 +50,6 @@ def jvm_hash_buckets(
     ZERO jobs (guide §1.2: the probe was one scheduling round-trip per
     query).  The memo is value-keyed, bounded, and content-independent (a
     pure hash), so this is not result caching."""
-    if len(_BUCKET_MEMO) > 262_144:
-        _BUCKET_MEMO.clear()
     missing = sorted({v for v in values if (v, n_buckets) not in _BUCKET_MEMO})
     if missing:
         rows = (
@@ -61,7 +62,14 @@ def jvm_hash_buckets(
         )
         for r in rows:
             _BUCKET_MEMO[(r["v"], n_buckets)] = int(r["b"])
-    return sorted({_BUCKET_MEMO[(v, n_buckets)] for v in values})
+    out = set()
+    for v in values:
+        key = (v, n_buckets)
+        _BUCKET_MEMO.move_to_end(key)
+        out.add(_BUCKET_MEMO[key])
+    while len(_BUCKET_MEMO) > _BUCKET_MEMO_MAX:
+        _BUCKET_MEMO.popitem(last=False)
+    return sorted(out)
 
 
 def term_buckets(spark: SparkSession, terms: list[str], cfg: IndexConfig) -> list[int]:

@@ -81,7 +81,10 @@ def trigrams_of(s: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)})
 
 
-_FOLD_MEMO: dict[str, str] = {}
+from collections import OrderedDict
+
+_FOLD_MEMO: OrderedDict[str, str] = OrderedDict()
+_FOLD_MEMO_MAX = 4096
 
 
 def jvm_fold(spark: SparkSession, s: str) -> str:
@@ -91,14 +94,17 @@ def jvm_fold(spark: SparkSession, s: str) -> str:
     Java and Python case-fold a handful of code points differently (e.g.
     U+0130 'İ' -> 'i̇' changes length under Java lower), and a
     Python-folded probe over a JVM-folded index produces candidate false
-    NEGATIVES the verify step cannot recover (round-5 ADVICE)."""
-    if s not in _FOLD_MEMO:
-        if len(_FOLD_MEMO) > 4096:
-            _FOLD_MEMO.clear()
-        _FOLD_MEMO[s] = spark.range(1).select(
-            F.lower(F.lit(s)).alias("v")
-        ).first()["v"]
-    return _FOLD_MEMO[s]
+    NEGATIVES the verify step cannot recover (round-5 ADVICE).  Bounded as
+    a true LRU (the wholesale clear dropped every warm needle at once —
+    round-6 verdict low-sev; the house pattern, operators/wand.py)."""
+    if s in _FOLD_MEMO:
+        _FOLD_MEMO.move_to_end(s)
+        return _FOLD_MEMO[s]
+    v = spark.range(1).select(F.lower(F.lit(s)).alias("v")).first()["v"]
+    _FOLD_MEMO[s] = v
+    while len(_FOLD_MEMO) > _FOLD_MEMO_MAX:
+        _FOLD_MEMO.popitem(last=False)
+    return v
 
 
 def build_trigram_index(

@@ -260,9 +260,6 @@ def _assemble_and_commit(
     avgdl = avgdl_exact if avgdl_override is None else float(avgdl_override)
 
     term_stats = build_term_stats(postings, n_docs).cache()
-    # n_postings and bucket skew both come from the tiny term_stats frame —
-    # one job, never a second full postings scan just for metrics
-    n_postings, bucket_skew = _bucket_weight_stats(term_stats, "term_bucket", "df")
     packed, doc_map = build_packed_index_full(postings, term_stats, n_docs, avgdl, cfg)
     if doc_map is not None:
         # consumed 3x (packed ordinalization, snapshot write, skew metric),
@@ -270,6 +267,16 @@ def _assemble_and_commit(
         # n_shards-row result (guide §5; one row per shard, bytes ~ shard
         # doc-id blobs)
         doc_map = doc_map.cache()
+    # n_postings and bucket skew come from the tiny term_stats frame (never
+    # a second postings scan); the doc-shard skew probe is independent —
+    # overlap the two stat jobs (guide §2.6)
+    stats_batch = _run_parallel(
+        [
+            lambda: _bucket_weight_stats(term_stats, "term_bucket", "df"),
+            lambda: _doc_shard_skew(doc_map),
+        ]
+    )
+    (n_postings, bucket_skew), shard_skew = stats_batch
 
     elapsed = max(time.perf_counter() - t_start, 1e-9)
     metrics = {
@@ -281,7 +288,6 @@ def _assemble_and_commit(
         "postings_per_sec": round(n_postings / elapsed, 2),
         "skew_ratio_term_bucket": round(bucket_skew, 3),
     }
-    shard_skew = _doc_shard_skew(doc_map)
     if shard_skew is not None:
         metrics["skew_ratio_doc_shard"] = round(shard_skew, 3)
     meta = {
