@@ -300,8 +300,14 @@ def build_packed_index(
     sharded = postings.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_doc_shards)).cast("int")
     ).select("shard", "term", "doc_id", "tf", "dl")
+    # sort key is (shard, term) only: the streaming packer just needs each
+    # (shard, term) group contiguous — _pack_rows argsorts the group by
+    # doc_id itself (stable, applied to tf/dl in lockstep), so carrying
+    # doc_id through the external sort paid for ordering that was redone
+    # anyway (guide §1.2 per-task work; output blocks byte-identical,
+    # covered by the pack-identity tests)
     arranged = sharded.repartition(cfg.n_doc_shards, "shard").sortWithinPartitions(
-        "shard", "term", "doc_id"
+        "shard", "term"
     )
 
     cfg_small = IndexConfig(k1=cfg.k1, b=cfg.b, block_size=cfg.block_size)

@@ -560,11 +560,14 @@ def pack_trigrams(
     # JVM-side on the vocab-x-shards-sized packed OUTPUT below — 4 fewer
     # bytes per posting row through the one big exchange (guide §2.3
     # project-before-the-exchange / narrower rows)
+    # sort key is (shard, gram) only: emit() np.unique-sorts each group's
+    # doc ids anyway, so the external sort need not order by doc_id —
+    # identical blobs for a cheaper sort (guide §1.2 per-task work)
     arranged = (
         trigram_index.withColumn("shard", shard_col)
         .select("shard", "gram", "doc_id")
         .repartition(int(n_doc_shards), "shard")
-        .sortWithinPartitions("shard", "gram", "doc_id")
+        .sortWithinPartitions("shard", "gram")
     )
     schema = "gram string, shard int, n long, docs_blob binary"
 
