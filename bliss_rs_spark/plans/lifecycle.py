@@ -192,17 +192,29 @@ def _write_segment_from_tokenized(
     store: IndexStore,
     cfg: IndexConfig,
     seg_name: str,
-) -> str:
-    """Tokenized rows -> one immutable segment on disk.  The tokenizer runs
-    exactly once: ``tokenized`` is persisted for the duration of the 4-6
-    frame writes (each write is its own Spark action — without the cache a
+) -> tuple[str, dict]:
+    """Tokenized rows -> one immutable segment on disk; returns
+    (segment name, {"n_ok", "sum_dl"}).  The tokenizer runs exactly once:
+    ``tokenized`` is persisted for the duration of the 4-6 frame writes
+    (each write is its own Spark action — without the cache a
     checkpoint-less build re-ran the pandas-UDF tokenizer once PER FRAME,
     and the checkpoint path re-ran its anti-join scan per frame; guide §5
-    caching-for-reuse, measured 32 -> ~20 jobs on snapshot_build)."""
+    caching-for-reuse, measured 32 -> ~20 jobs on snapshot_build).
+
+    The segment's (row count, sum dl) stats ride the doc_stats WRITE as an
+    observed metric (DataFrame.observe / CollectMetrics) — previously both
+    build_full and update_index paid one more full aggregation job over
+    the just-written parquet for exactly these two numbers (guide §1.2:
+    remove passes)."""
+    from pyspark.sql import Observation
+
     tokenized = tokenized.persist()
     try:
         ok, errors = split_errors(tokenized)
-        doc_stats = build_doc_stats(ok)
+        obs = Observation()
+        doc_stats = build_doc_stats(ok).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        )
         frames = {
             "postings": build_postings(ok, cfg),
             "doc_stats": doc_stats,
@@ -219,7 +231,12 @@ def _write_segment_from_tokenized(
             # folded layout (Zoekt): one index serves case-sensitive (exact —
             # folded candidates are a superset, verify stays raw) AND grep -i
             frames["trigram"] = build_trigram_index(ok, "content", lowercase=True)
-        return store.write_segment(frames, seg_name)
+        name = store.write_segment(frames, seg_name)
+        got = obs.get  # completed: every frame write has finished
+        return name, {
+            "n_ok": int(got["n"] or 0),
+            "sum_dl": int(got["sdl"] or 0),
+        }
     finally:
         tokenized.unpersist()
 
@@ -245,17 +262,14 @@ def _assemble_and_commit(
     a caller-supplied epoch value (used to verify incremental updates are
     byte-identical to a pinned-avgdl rebuild; production full builds re-derive
     it exactly)."""
-    seg_name = _write_segment_from_tokenized(
+    seg_name, seg_stats = _write_segment_from_tokenized(
         spark, tokenized, store, cfg, store.next_segment_name()
     )
-    doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
     postings = _read_segment(spark, store, seg_name, "postings")
 
-    stats_row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-    ).collect()[0]
-    n_docs = int(stats_row["n"])
-    sum_dl = int(stats_row["sdl"] or 0)
+    # (n_docs, sum_dl) observed during the doc_stats write — no extra agg job
+    n_docs = seg_stats["n_ok"]
+    sum_dl = seg_stats["sum_dl"]
     avgdl_exact = (sum_dl / n_docs) if n_docs else 0.0
     avgdl = avgdl_exact if avgdl_override is None else float(avgdl_override)
 
@@ -508,20 +522,14 @@ def update_index(
             tokenized = _tokenize_with_checkpoint(spark, delta, store, cfg)
         else:
             tokenized = tokenize_documents(delta, cfg)
-        _write_segment_from_tokenized(spark, tokenized, store, cfg, seg_name)
+        _, seg_stats = _write_segment_from_tokenized(
+            spark, tokenized, store, cfg, seg_name
+        )
         segments.append(seg_name)
-        new_doc_stats = _read_segment(spark, store, seg_name, "doc_stats")
         new_postings = _read_segment(spark, store, seg_name, "postings")
-
-    # deferred thunk: the new segment's (n_docs, sum_dl) agg — overlapped
-    # below with the packed-policy probes (guide §2.6)
-    agg_new = (
-        new_doc_stats.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-        ).collect
-        if n_delta > 0
-        else None
-    )
+        # (n, sum dl) observed during the doc_stats write — no extra agg job
+        n_new_ok = seg_stats["n_ok"]
+        sum_dl_new = seg_stats["sum_dl"]
 
     # --- tombstones ------------------------------------------------------------
     tombstones = store.load(spark, "tombstones")
@@ -569,15 +577,7 @@ def update_index(
                 for r in touched.select(shard_col.alias("s")).distinct().collect()
             )
 
-        # the new-segment stats agg and the touched-shards probe are
-        # independent reads of the just-written segment — overlap them
-        if agg_new is not None:
-            new_row, delta_shards = _run_parallel([agg_new, _shards])
-            n_new_ok = int(new_row[0]["n"])
-            sum_dl_new = int(new_row[0]["sdl"] or 0)
-            agg_new = None
-        else:
-            delta_shards = _shards()
+        delta_shards = _shards()
         old_packed = store.load(spark, "packed").filter(
             F.col("shard").isin(delta_shards)
         )
@@ -665,14 +665,7 @@ def update_index(
             to_unpersist.append(rf)
             return (rf, None, "packed_decode")
 
-        if agg_new is not None:
-            new_row, resolved = _run_parallel([agg_new, _resolve_removed_flat])
-            n_new_ok = int(new_row[0]["n"])
-            sum_dl_new = int(new_row[0]["sdl"] or 0)
-            agg_new = None
-        else:
-            resolved = _resolve_removed_flat()
-        removed_flat, sum_dl_removed_pre, df_src_used = resolved
+        removed_flat, sum_dl_removed_pre, df_src_used = _resolve_removed_flat()
 
     # --- exact incremental term stats -------------------------------------------
     n_docs = int(meta["n_docs"]) - n_removed_ok + n_new_ok
