@@ -350,10 +350,18 @@ def build_full(
     parent = store.current_snapshot()  # optimistic-concurrency token
     if "doc_id" not in docs.columns or "content_sha256" not in docs.columns:
         docs = with_invariants(docs)
-    n_in = docs.count()
     if checkpoint:
-        tokenized = _tokenize_with_checkpoint(spark, docs, store, cfg)
+        # the corpus count (metrics only) overlaps the checkpoint append —
+        # independent actions (guide §2.6)
+        box: dict = {}
+
+        def _prep():
+            box["df"] = _tokenize_with_checkpoint(spark, docs, store, cfg)
+
+        n_in, _ = _run_parallel([docs.count, _prep])
+        tokenized = box["df"]
     else:
+        n_in = docs.count()
         tokenized = tokenize_documents(docs, cfg)
     return _assemble_and_commit(
         spark, tokenized, store, cfg, t0, n_in, avgdl_override, parent=parent
@@ -494,9 +502,25 @@ def update_index(
     )
     # the two probe aggs are independent (both read only the cached
     # incoming/delta and the manifest) — overlap them from driver threads
-    # (guide §2.6) instead of paying two serial scheduling round-trips
-    row, rem_row = (
-        r[0] for r in _run_parallel([skip_check.collect, rem_check.collect])
+    # (guide §2.6); the delta TOKENIZATION (checkpoint append — the one
+    # unavoidable UDF action) is also independent of the probe RESULTS, so
+    # it rides the same batch: an empty delta appends nothing, so starting
+    # it before n_delta is known is semantics-free
+    tokenized_box: dict = {}
+
+    def _prepare_tokenized():
+        if checkpoint:
+            tokenized_box["df"] = _tokenize_with_checkpoint(
+                spark, delta, store, cfg
+            )
+        else:
+            tokenized_box["df"] = tokenize_documents(delta, cfg)
+
+    row, rem_row, _ = (
+        r[0] if isinstance(r, list) else r
+        for r in _run_parallel(
+            [skip_check.collect, rem_check.collect, _prepare_tokenized]
+        )
     )
     n_in = int(row["n"])
     n_delta = n_in - int(row["skip"] or 0)
@@ -513,15 +537,12 @@ def update_index(
     n_new_ok = 0
     sum_dl_new = 0
     if n_delta > 0:
-        if checkpoint:
-            # one UDF pass: the delta lands in the tokenize checkpoint and
-            # the 4-5 segment frame writes derive from the PARQUET read, not
-            # from re-running the tokenizer lineage per frame.  Also makes a
-            # killed update resume without re-tokenizing (same anti-join as
-            # build_full).
-            tokenized = _tokenize_with_checkpoint(spark, delta, store, cfg)
-        else:
-            tokenized = tokenize_documents(delta, cfg)
+        # tokenized was prepared in the overlapped batch above: with
+        # checkpoint the delta already landed in the tokenize checkpoint
+        # (one UDF pass; killed updates resume via the same anti-join as
+        # build_full) and the 4-5 segment frame writes derive from the
+        # PARQUET read, not from re-running the tokenizer lineage per frame
+        tokenized = tokenized_box["df"]
         _, seg_stats = _write_segment_from_tokenized(
             spark, tokenized, store, cfg, seg_name
         )
