@@ -166,37 +166,15 @@ def minhash_lsh_pairs(
     # join instead of raw shingle strings — ~an order of magnitude less
     # payload per doc at corpus scale, same Jaccard (shingles are distinct;
     # the identical hashing is replayed in the DuckDB oracle, so parity stays
-    # bit-exact even in the astronomically-unlikely collision case).
-    # ONE join, not two: the previous per-side joins each scanned (and, at
-    # broadcast size, each materialized) the full shingle relation; instead
-    # each pair fans into two (pair, doc) legs, joins the shingle relation
-    # ONCE, and gathers back per pair.  Each (doc_a, doc_b) group holds
-    # exactly two rows with disjoint matches (doc_a <> doc_b), so the
-    # conditional first(ignorenulls) gather is deterministic.  The gather
-    # shuffle is candidate-pair-sized, never corpus-sized (guide §2.4).
+    # bit-exact even in the astronomically-unlikely collision case)
     hash_arr = f"transform(shingles, s -> {md5_int64_spark('s')})"
     sh = with_shingles(docs, content_col, n).select(
         "doc_id", F.expr(hash_arr).alias("shingles")
     )
-    legs = cand.select("doc_a", "doc_b", F.col("doc_a").alias("doc_id")).unionByName(
-        cand.select("doc_a", "doc_b", F.col("doc_b").alias("doc_id"))
-    )
-    gathered = (
-        legs.join(sh, "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles")),
-                ignorenulls=True,
-            ).alias("sh_a"),
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles")),
-                ignorenulls=True,
-            ).alias("sh_b"),
-        )
-    )
-    return (
-        gathered.withColumn(
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
             "jaccard",
             F.when(
                 F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(0.0)
@@ -208,6 +186,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return verified
 
 
 def connected_components(
